@@ -1,0 +1,396 @@
+"""GFV — the Glance-Focus-Vision top model (TPU-native redesign).
+
+Capability parity with the reference's GFV top module
+(actnet/models/gfv_net.py:13-228 and sthsth/models/gfv_net.py:16-225 in
+/root/reference): a MobileNetV2 glancer over downsampled frames, a recurrent
+actor-critic policy choosing one patch per frame (or per video division), a
+ResNet-50 focuser over the selected patches, and a GRU / consensus head.
+
+The composition is *not* the reference's per-timestep module calls. On TPU
+everything is one jit program built from three phases (the paper's offline
+parallelism trick — /root/reference/README.md:30 — applied to training too):
+
+  phase 1  glance:   (B*T) downsampled frames through MobileNetV2, batched.
+  phase 2  policy:   lax.scan of the recurrent actor-critic over T (cheap:
+                     1x1 conv + GRU per step) -> all T actions.
+  phase 3  focus:    ONE batched (B*T) patch-extraction (Pallas kernel) +
+                     ResNet-50 call at full MXU utilization, then the
+                     classifier scan / consensus.
+
+This is exact (not an approximation): the policy state depends only on
+glance features (reference ppo.py:67-96 — its GRU sees the encoded feature
+map, never focuser outputs), so the sequential interleaving of the
+reference's ``one_step_act`` loop (actnet/models/gfv_net.py:160-210) carries
+no information the two-phase program loses. It also removes the reference's
+per-sample host syncs in patch cropping and its single-GPU restriction for
+policy training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from adafocus_tpu.models.classifiers import (
+    LinearClassifier,
+    RecurrentClassifier,
+    avg_consensus,
+)
+from adafocus_tpu.models.mobilenet import MobileNetV2
+from adafocus_tpu.models.policy import (
+    ActorCritic,
+    discrete_to_coords,
+    greedy_discrete,
+    sample_continuous,
+    sample_discrete,
+)
+from adafocus_tpu.models.resnet import resnet50
+from adafocus_tpu.ops.patch import (
+    extract_patches,
+    extract_patches_flat,
+    pad_for_extraction,
+    patch_offsets,
+    random_patch_actions,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GFVConfig:
+    """Static model configuration (the reference's hydra keys that shape the
+    program: actnet/conf/default.yaml)."""
+
+    num_classes: int = 200
+    num_frames: int = 16          # T (glancer frames; actnet uses one rate)
+    num_frames_focuser: int = 0   # sth-sth dual-rate; 0 = same as num_frames
+    image_size: int = 224
+    glance_size: int = 96
+    patch_size: int = 96
+    action_dim: int = 49
+    hidden_dim: int = 1024        # classifier GRU hidden
+    policy_hidden: int = 1024
+    classifier: str = "gru"       # 'gru' | 'linear' | 'consensus'
+    continuous_policy: bool = False
+    action_std: float = 0.25
+    policy_conv: bool = True
+    policy_bn: bool = False
+    tsm: bool = False             # sth-sth temporal-shift variant
+    video_div: int = 1            # sth-sth: one action per division
+    dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
+
+    @property
+    def t_focuser(self) -> int:
+        return self.num_frames_focuser or self.num_frames
+
+    @property
+    def glance_dim(self) -> int:
+        return 1280
+
+    @property
+    def focus_dim(self) -> int:
+        return 2048
+
+    @property
+    def fused_dim(self) -> int:
+        return self.glance_dim + self.focus_dim
+
+
+class GFV(nn.Module):
+    """Parameter container + per-phase methods. Compose phases with the
+    pure functions below (``forward_random``, ``inference``, ...)."""
+
+    cfg: GFVConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.glancer = MobileNetV2(
+            num_classes=cfg.num_classes,
+            dtype=cfg.dtype,
+            n_frames=cfg.num_frames if cfg.tsm else 0,
+        )
+        self.focuser = resnet50(
+            num_classes=cfg.num_classes,
+            dtype=cfg.dtype,
+            n_frames=cfg.t_focuser if cfg.tsm else 0,
+        )
+        self.policy = ActorCritic(
+            action_dim=cfg.action_dim,
+            hidden_dim=cfg.policy_hidden,
+            continuous=cfg.continuous_policy,
+            action_std=cfg.action_std,
+            encoder_conv=cfg.policy_conv,
+            encoder_bn=cfg.policy_bn,
+            dtype=cfg.dtype,
+        )
+        if cfg.classifier == "gru":
+            self.classifier = RecurrentClassifier(
+                num_classes=cfg.num_classes, hidden_dim=cfg.hidden_dim, dtype=cfg.dtype
+            )
+        elif cfg.classifier == "linear":
+            self.classifier = LinearClassifier(
+                num_classes=cfg.num_classes, dtype=cfg.dtype
+            )
+        else:  # consensus: focuser features -> per-frame FC (sth-sth head)
+            self.classifier = nn.Dense(cfg.num_classes, dtype=cfg.dtype)
+
+    # ---- phase 1: glance -------------------------------------------------
+
+    def glance(self, frames_small: jax.Array, train: bool = False):
+        """(B, T, g, g, 3) -> feature map (B, T, gh, gw, 1280), pooled
+        (B, T, 1280). get_featmap parity (actnet/models/gfv_net.py:243-247)."""
+        b, t = frames_small.shape[:2]
+        flat = frames_small.reshape((b * t,) + frames_small.shape[2:])
+        fmap, pooled = self.glancer.features(flat.astype(self.cfg.dtype), train)
+        fmap = fmap.reshape((b, t) + fmap.shape[1:])
+        return fmap, pooled.reshape(b, t, -1)
+
+    def glance_logits(self, frames_small: jax.Array, train: bool = False):
+        """Stage-0 glancer pretraining head; also the sth-sth global logits
+        (sthsth/models/gfv_net.py:82-84)."""
+        b, t = frames_small.shape[:2]
+        flat = frames_small.reshape((b * t,) + frames_small.shape[2:])
+        fmap, pooled = self.glancer.features(flat.astype(self.cfg.dtype), train)
+        logits = self.glancer.classify(pooled, train)
+        return (
+            fmap.reshape((b, t) + fmap.shape[1:]),
+            logits.reshape(b, t, -1),
+        )
+
+    # ---- phase 2: policy -------------------------------------------------
+
+    def policy_rollout(
+        self, fmap: jax.Array, rng: jax.Array, mode: str = "sample",
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """Scan the recurrent policy over time.
+
+        fmap: (B, T, gh, gw, C) glance feature maps.
+        mode: 'sample' (stage-2 exploration) or 'greedy' (eval; reference
+              ppo.py:94 uses argmax when not training).
+
+        Returns dict with actions (B, T, 2) in [0,1]^2, and for discrete
+        policies action_idx (B, T); plus logprob/value (B, T) and the
+        encoded per-step policy inputs are recoverable from fmap.
+        """
+        cfg = self.cfg
+        b, t = fmap.shape[:2]
+        xs = jnp.swapaxes(fmap, 0, 1)  # (T, B, gh, gw, C)
+        keys = jax.random.split(rng, t)
+
+        def body(policy, h, x):
+            fm, key = x
+            h, actor_out, value = policy.step(h, fm, train)
+            if cfg.continuous_policy:
+                if mode == "sample":
+                    action, logprob = sample_continuous(key, actor_out, cfg.action_std)
+                else:
+                    action, logprob = actor_out, jnp.zeros(actor_out.shape[:-1])
+                idx = jnp.zeros(action.shape[:-1], jnp.int32)
+            else:
+                if mode == "sample":
+                    idx, logprob = sample_discrete(key, actor_out)
+                else:
+                    idx = greedy_discrete(actor_out)
+                    logprob = jnp.zeros(idx.shape)
+                action = discrete_to_coords(idx, cfg.action_dim)
+            return h, (action, idx, logprob, value)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        h0 = self.policy.initial_hidden(b)
+        _, (actions, idx, logprob, value) = scan(self.policy, h0, (xs, keys))
+        return {
+            "actions": jnp.swapaxes(actions, 0, 1).astype(jnp.float32),
+            "action_idx": jnp.swapaxes(idx, 0, 1),
+            "logprob": jnp.swapaxes(logprob, 0, 1).astype(jnp.float32),
+            "value": jnp.swapaxes(value, 0, 1).astype(jnp.float32),
+        }
+
+    # ---- phase 3: focus + classify ---------------------------------------
+
+    def focus(self, patches: jax.Array, train: bool = False) -> jax.Array:
+        """(N, P, P, 3) -> (N, 2048) pooled focuser features."""
+        _, pooled = self.focuser.features(patches.astype(self.cfg.dtype), train)
+        return pooled
+
+    def focus_logits(self, patches: jax.Array, train: bool = False) -> jax.Array:
+        """Stage-0 focuser pretraining / sth-sth local logits."""
+        return self.focuser(patches.astype(self.cfg.dtype), train)
+
+    def classify_seq(self, fused: jax.Array) -> jax.Array:
+        """(B, T, D) -> per-step logits (B, T, classes) via the GRU head."""
+        return self.classifier(fused)
+
+    def classify_linear(self, fused: jax.Array, train: bool = False) -> jax.Array:
+        return self.classifier(fused, train)
+
+    def classify_frame_logits(self, features: jax.Array) -> jax.Array:
+        """sth-sth consensus head: per-frame local logits from focuser
+        features (B, T, 2048) -> (B, T, classes)."""
+        return self.classifier(features)
+
+    def classifier_step(self, hidden: jax.Array, feature: jax.Array):
+        """Single MDP step of the GRU head (reference single_forward,
+        actnet/models/gfv_net.py:437-446)."""
+        return self.classifier.step(hidden, feature)
+
+    # ---- init path --------------------------------------------------------
+
+    def __call__(self, frames_small: jax.Array, patches: jax.Array, rng: jax.Array):
+        """Exercises every submodule once so ``init`` creates all params."""
+        fmap, pooled = self.glance(frames_small)
+        _ = self.glancer.classify(pooled.reshape(-1, pooled.shape[-1]))
+        roll = self.policy_rollout(fmap, rng, mode="sample")
+        local = self.focus(patches)
+        _ = self.focuser.fc(local)
+        b, t = fmap.shape[:2]
+        local_bt = jnp.broadcast_to(
+            local[: b * t].reshape(b, t, -1), (b, t, local.shape[-1])
+        )
+        if self.cfg.classifier == "gru":
+            fused = jnp.concatenate([pooled, local_bt], axis=-1)
+            out = self.classify_seq(fused)
+        elif self.cfg.classifier == "linear":
+            fused = jnp.concatenate([pooled, local_bt], axis=-1)
+            out = self.classify_linear(fused)
+        else:
+            out = self.classify_frame_logits(local_bt)
+        return out, roll
+
+
+# ---------------------------------------------------------------------------
+# Pure composition functions (the model's public forward surfaces).
+# ---------------------------------------------------------------------------
+
+
+def fuse_and_classify(
+    model: GFV, variables, pooled: jax.Array, local: jax.Array, train: bool,
+    mutable=False, rngs=None,
+):
+    """concat(global, local) -> classifier (the reference's feature fusion,
+    actnet/models/gfv_net.py:148-149)."""
+    cfg = model.cfg
+    fused = jnp.concatenate([pooled, local], axis=-1).astype(cfg.dtype)
+    if cfg.classifier == "gru":
+        return model.apply(
+            variables, fused, method=GFV.classify_seq, mutable=mutable, rngs=rngs
+        )
+    return model.apply(
+        variables, fused, train, method=GFV.classify_linear, mutable=mutable, rngs=rngs
+    )
+
+
+def glance_policy_actions(
+    model: GFV, variables, frames_small: jax.Array, rng: jax.Array,
+    mode: str = "greedy", train: bool = False,
+):
+    """Phases 1+2: glance features + policy actions."""
+    fmap, pooled = model.apply(
+        variables, frames_small, train, method=GFV.glance,
+    )
+    roll = model.apply(
+        variables, fmap, rng, mode, train, method=GFV.policy_rollout,
+    )
+    return fmap, pooled, roll
+
+
+def extract_for_frames(
+    frames_flat: jax.Array, actions: jax.Array, image_size: int, patch_size: int,
+    channels: int = 3, impl: str = "auto",
+) -> jax.Array:
+    """(B, T, S, L) lane-padded frames + (B, T, 2) actions -> (B*T, P, P, C)."""
+    b, t = frames_flat.shape[:2]
+    offs = patch_offsets(actions.reshape(b * t, 2), image_size, patch_size)
+    flat = frames_flat.reshape((b * t,) + frames_flat.shape[2:])
+    if impl == "slice" or (impl == "auto" and jax.devices()[0].platform != "tpu"):
+        # unpadded portable fallback expects (N, H, W, C)
+        imgs = flat[..., : image_size * channels].reshape(
+            b * t, frames_flat.shape[2], image_size, channels
+        )
+        return extract_patches(imgs, offs, patch_size, "slice")
+    return extract_patches_flat(flat, offs, patch_size, channels)
+
+
+def inference(
+    model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
+    rng: jax.Array, impl: str = "auto",
+) -> jax.Array:
+    """Deployment forward (two-phase batched; replaces the reference's
+    sequential eval loop, actnet/models/gfv_net.py:95-133).
+
+    frames_flat: (B, T, S, L) lane-padded full-res frames.
+    frames_small: (B, T, g, g, 3) downsampled frames.
+    Returns per-step logits (B, T, classes); the final prediction is the
+    last step (GRU) — callers may also use every step for anytime eval.
+    """
+    cfg = model.cfg
+    b, t = frames_small.shape[:2]
+    fmap, pooled, roll = glance_policy_actions(
+        model, variables, frames_small, rng, mode="greedy"
+    )
+    patches = extract_for_frames(
+        frames_flat, roll["actions"], cfg.image_size, cfg.patch_size, impl=impl
+    )
+    local = model.apply(variables, patches, method=GFV.focus)
+    local = local.reshape(b, t, -1)
+    return fuse_and_classify(model, variables, pooled, local, train=False)
+
+
+def forward_random(
+    model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
+    rng: jax.Array, train: bool = True, impl: str = "auto", mutable=False,
+    rngs=None,
+):
+    """Stage-1 forward: random patches (reference random_patching,
+    actnet/models/gfv_net.py:134-150 with random_patch=True)."""
+    cfg = model.cfg
+    b, t = frames_small.shape[:2]
+    a_key, rng = jax.random.split(rng)
+    actions = random_patch_actions(a_key, (b, t))
+
+    updates = {}
+
+    def apply(fn_method, *args):
+        nonlocal updates
+        if mutable:
+            out, upd = model.apply(
+                variables, *args, method=fn_method, mutable=mutable, rngs=rngs
+            )
+            updates = _merge_updates(updates, upd)
+            return out
+        return model.apply(variables, *args, method=fn_method, rngs=rngs)
+
+    _, pooled = apply(GFV.glance, frames_small, train)
+    patches = extract_for_frames(
+        frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl
+    )
+    local = apply(GFV.focus, patches, train).reshape(b, t, -1)
+    fused = jnp.concatenate([pooled, local], axis=-1).astype(cfg.dtype)
+    if cfg.classifier == "gru":
+        logits = apply(GFV.classify_seq, fused)
+    else:
+        logits = apply(GFV.classify_linear, fused, train)
+    if mutable:
+        return logits, updates
+    return logits
+
+
+def _merge_updates(a: dict, b) -> dict:
+    b = dict(b)
+    out = dict(a)
+    for k, v in b.items():
+        if k in out:
+            merged = dict(out[k])
+            merged.update(dict(v))
+            out[k] = merged
+        else:
+            out[k] = v
+    return out
