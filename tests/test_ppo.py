@@ -1,0 +1,132 @@
+"""PPO numerics: discounted returns vs a hand loop, reward modes, rollout vs
+evaluate logprob consistency (ratio==1 when params==params_old), and a full
+update step (params move, old params sync — reference ppo.py:147-178)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adafocus_tpu.models.gfv import GFV, GFVConfig
+from adafocus_tpu.models.policy import ActorCritic
+from adafocus_tpu.ppo.core import (
+    PPOConfig,
+    compute_rewards,
+    discounted_returns,
+    evaluate_episode,
+    make_policy,
+    ppo_init,
+    ppo_update,
+)
+
+
+def test_discounted_returns_matches_loop():
+    rng = np.random.RandomState(0)
+    T, B = 5, 3
+    rewards = rng.randn(T, B).astype(np.float32)
+    gamma = 0.7
+    # hand loop (reference ppo.py:149-157)
+    disc = np.zeros(B, np.float32)
+    rets = []
+    for r in rewards[::-1]:
+        disc = r + gamma * disc
+        rets.insert(0, disc.copy())
+    rets = np.stack(rets)
+    rets = (rets - rets.mean()) / (rets.std() + 1e-5)
+    ours = np.asarray(discounted_returns(jnp.asarray(rewards), gamma))
+    np.testing.assert_allclose(ours, rets, atol=1e-5)
+
+
+def test_reward_modes():
+    conf = jnp.asarray([[0.2, 0.5, 0.9]])
+    base = jnp.asarray([[0.1, 0.6, 0.7]])
+    np.testing.assert_allclose(
+        np.asarray(compute_rewards(conf, None, "conf")), [[0.2, 0.5, 0.9]]
+    )
+    np.testing.assert_allclose(
+        np.asarray(compute_rewards(conf, None, "prev")),
+        [[0.2, 0.3, 0.4]], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compute_rewards(conf, base, "random")),
+        [[0.1, -0.1, 0.2]], atol=1e-6,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_policy_setup():
+    cfg = GFVConfig(
+        num_classes=5, num_frames=4, image_size=32, glance_size=16,
+        patch_size=16, action_dim=4, hidden_dim=16, policy_hidden=16,
+        dtype=jnp.float32,
+    )
+    policy = make_policy(cfg)
+    T, B, gh, gw, c = cfg.num_frames, 3, 2, 2, 8
+    fmaps = jax.random.normal(jax.random.key(0), (T, B, gh, gw, c))
+    params = policy.init(
+        jax.random.key(1), policy.initial_hidden(B), fmaps[0]
+    )["params"]
+    return cfg, policy, params, fmaps
+
+
+def _rollout(policy, params, fmaps_tb, key):
+    """sample-mode rollout mirroring GFV.policy_rollout, time-major."""
+    from adafocus_tpu.models.policy import sample_discrete
+    from flax import linen as nn
+
+    T, B = fmaps_tb.shape[:2]
+    keys = jax.random.split(key, T)
+
+    def body(mod, h, x):
+        fm, k = x
+        h, logits, value = mod.step(h, fm)
+        idx, logp = sample_discrete(k, logits)
+        return h, (idx, logp, value)
+
+    def run(mod):
+        scan = nn.scan(body, variable_broadcast=["params"],
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        return scan(mod, mod.initial_hidden(B), (fmaps_tb, keys))
+
+    _, (idx, logp, value) = nn.apply(run, policy)({"params": params})
+    return idx, logp, value
+
+
+def test_rollout_evaluate_consistency(tiny_policy_setup):
+    cfg, policy, params, fmaps = tiny_policy_setup
+    idx, logp_roll, value_roll = _rollout(policy, params, fmaps, jax.random.key(2))
+    logp_eval, value_eval, ent = evaluate_episode(
+        policy, {"params": params}, fmaps, idx, train=False
+    )
+    np.testing.assert_allclose(np.asarray(logp_roll), np.asarray(logp_eval), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value_roll), np.asarray(value_eval), atol=1e-5)
+    assert (np.asarray(ent) > 0).all()
+
+
+def test_ppo_update_moves_params_and_syncs_old(tiny_policy_setup):
+    cfg, policy, params, fmaps = tiny_policy_setup
+    ppo_cfg = PPOConfig()
+    state = ppo_init(params, ppo_cfg)
+
+    idx, logp, _ = _rollout(policy, state.params_old, fmaps, jax.random.key(3))
+    rewards = jax.random.uniform(jax.random.key(4), logp.shape)
+    memory = {
+        "fmaps": fmaps,
+        "actions": idx,
+        "old_logprob": logp,
+        "returns": discounted_returns(rewards, ppo_cfg.gamma),
+    }
+    new_state, metrics = ppo_update(policy, state, None, memory, ppo_cfg)
+
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+    synced = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        new_state.params, new_state.params_old,
+    )
+    assert max(jax.tree.leaves(synced)) == 0
+    assert np.isfinite(float(metrics["ppo/loss"]))
+    # behavior logprobs came from params_old == params, so ratios start at 1
+    assert abs(float(metrics["ppo/ratio_mean"]) - 1.0) < 1e-4
