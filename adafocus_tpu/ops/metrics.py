@@ -18,11 +18,16 @@ import numpy as np
 def topk_accuracy(
     logits: jax.Array, labels: jax.Array, ks: Sequence[int] = (1, 5)
 ) -> Tuple[jax.Array, ...]:
-    """logits (B, C), int labels (B,) -> fraction correct for each k."""
-    max_k = max(ks)
+    """logits (B, C), int labels (B,) -> fraction correct for each k
+    (k is clamped to C so tiny-class-count configs don't crash)."""
+    c = logits.shape[-1]
+    max_k = min(max(ks), c)
     _, top_idx = jax.lax.top_k(logits, max_k)  # (B, max_k)
     correct = top_idx == labels[:, None]
-    return tuple(jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32)) for k in ks)
+    return tuple(
+        jnp.mean(jnp.any(correct[:, : min(k, c)], axis=1).astype(jnp.float32))
+        for k in ks
+    )
 
 
 def average_precision(scores: np.ndarray, targets: np.ndarray) -> float:
