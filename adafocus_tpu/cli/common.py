@@ -1,0 +1,177 @@
+"""Shared CLI plumbing: seeding, logging, model/loader construction, and
+the jitted raw-uint8 -> model-batch preparation program.
+
+The batch-prep fn is the on-device half of the input pipeline: one jit
+program fusing augmentation, normalization, glance downsample, and the
+lane-padding the patch kernel wants — the work the reference spreads over
+PIL worker processes + an in-loop F.interpolate (/root/reference
+actnet/main_dist.py:194-239,469).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adafocus_tpu.config import ExperimentConfig
+from adafocus_tpu.data.pipeline import (
+    FrameFolderSource,
+    LoaderConfig,
+    SyntheticVideoSource,
+    VideoLoader,
+)
+from adafocus_tpu.data.records import VideoRecord, parse_list_file, return_dataset
+from adafocus_tpu.data.transforms import (
+    AugmentConfig,
+    augment_eval,
+    augment_train,
+    glance_downsample,
+)
+from adafocus_tpu.models.gfv import GFV
+from adafocus_tpu.ops.patch import pad_for_extraction
+
+
+def apply_platform(run_cfg) -> None:
+    """Re-point JAX before backend init (must run before any device op).
+    ``run.platform=cpu run.host_devices=8`` gives the virtual multi-chip
+    CPU mesh for debugging distributed logic without hardware."""
+    if run_cfg.host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{run_cfg.host_devices}"
+        ).strip()
+    if run_cfg.platform:
+        jax.config.update("jax_platforms", run_cfg.platform)
+
+
+def set_all_seeds(seed: int) -> jax.Array:
+    """Python/numpy seeding + the root jax key (reference
+    basic_tools/utils.py:10-14; jax needs explicit keys, so return one)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+class Logger:
+    """stdout + append-to-file logging (the reference's rank-0 ``logs``
+    list flushed to training.log, main_dist.py:301-304)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def __call__(self, msg: str) -> None:
+        print(msg, flush=True)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(msg + "\n")
+
+
+def build_model(cfg: ExperimentConfig) -> GFV:
+    return GFV(cfg.model)
+
+
+def synthetic_records(n: int, num_classes: int, frames: int = 64):
+    return [
+        VideoRecord(f"synthetic{i}", frames, (i % num_classes, -1, -1))
+        for i in range(n)
+    ]
+
+
+def build_loader(cfg: ExperimentConfig, train: bool) -> VideoLoader:
+    run = cfg.run
+    loader_cfg = cfg.loader
+    mode = "train" if train else "val"
+    loader_cfg = LoaderConfig(
+        **{**loader_cfg.__dict__, "mode": mode,
+           "multi_label": run.dataset in ("actnet", "fcvid"),
+           "drop_last": train}
+    )
+    if run.synthetic_data:
+        # synthetic labels must live in the model's class space
+        records = synthetic_records(run.synthetic_videos, cfg.model.num_classes)
+        source = SyntheticVideoSource()
+    else:
+        spec, frames_root, list_file = return_dataset(
+            run.dataset, run.data_root, train=train
+        )
+        records = parse_list_file(list_file, dataset=run.dataset)
+        source = FrameFolderSource(frames_root, spec.image_tmpl)
+    return VideoLoader(records, source, loader_cfg)
+
+
+def make_batch_prep(cfg: ExperimentConfig, train: bool) -> Callable:
+    """jit program: raw uint8 batch -> {frames_flat, frames_small, labels}.
+
+    actnet: one frame stream feeds both glancer (downsampled) and focuser
+    (full-res, lane-padded). sthsth: dual-rate streams.
+    """
+    model_cfg = cfg.model
+    aug = cfg.augment
+    family = cfg.run.family
+
+    def prep(raw_frames, raw_focuser, labels, rng):
+        k1, k2 = jax.random.split(rng)
+        if train:
+            big = augment_train(raw_frames, k1, aug)
+        else:
+            big = augment_eval(raw_frames, aug)
+        small = glance_downsample(big, model_cfg.glance_size)
+        if family == "sthsth":
+            if train:
+                focus = augment_train(raw_focuser, k2, aug)
+            else:
+                focus = augment_eval(raw_focuser, aug)
+        else:
+            focus = big
+        b, t = focus.shape[:2]
+        flat = pad_for_extraction(
+            focus.reshape((b * t,) + focus.shape[2:]).astype(model_cfg.dtype)
+        )
+        return {
+            "frames_flat": flat.reshape((b, t) + flat.shape[1:]),
+            "frames_small": small.astype(model_cfg.dtype),
+            "labels": labels,
+        }
+
+    prep = jax.jit(prep)
+
+    def run(raw: dict, rng: jax.Array):
+        labels = jnp.asarray(raw["labels"])
+        if labels.ndim == 2:
+            labels_train = labels[:, 0]
+        else:
+            labels_train = labels
+        batch = prep(
+            jnp.asarray(raw["frames"]),
+            jnp.asarray(raw.get("frames_focuser", raw["frames"])),
+            labels_train.astype(jnp.int32),
+            rng,
+        )
+        return batch, np.asarray(labels)
+
+    return run
+
+
+class ProgressMeter:
+    """Per-epoch progress lines (reference ops/utils.py ProgressMeter)."""
+
+    def __init__(self, num_batches: int, prefix: str = ""):
+        self.num_batches = num_batches
+        self.prefix = prefix
+        self.t0 = time.time()
+
+    def line(self, batch_idx: int, metrics: dict) -> str:
+        elapsed = time.time() - self.t0
+        body = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+        return (f"{self.prefix}[{batch_idx + 1}/{self.num_batches}] "
+                f"t={elapsed:.1f}s {body}")

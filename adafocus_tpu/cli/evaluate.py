@@ -1,0 +1,73 @@
+"""Evaluation entry point (reference sthsth/evaluate.py and
+actnet/main_dist.py evaluate=True path): load a checkpoint, run the
+deployment (greedy-policy, batched-focus) forward over the validation set,
+report top-1/5 (+ mAP for multi-label datasets).
+
+Usage: ``python -m adafocus_tpu.cli.evaluate --config conf.yaml
+run.resume=<ckpt_dir> [section.key=value ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import jax
+
+from adafocus_tpu.cli.common import (
+    Logger,
+    build_loader,
+    build_model,
+    make_batch_prep,
+    set_all_seeds,
+)
+from adafocus_tpu.cli.train import validate
+from adafocus_tpu.config import echo, load_config
+from adafocus_tpu.train import checkpoint as ckpt
+from adafocus_tpu.train.stages import create_train_state, make_eval_step
+from adafocus_tpu.train.stages_sthsth import make_sthsth_eval_step
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config, args.overrides)
+    from adafocus_tpu.cli.common import apply_platform
+
+    apply_platform(cfg.run)
+    log = Logger(os.path.join(cfg.run.ckpt_dir, "evaluate.log"))
+    log(echo(cfg))
+    root_key = set_all_seeds(cfg.run.seed)
+
+    model = build_model(cfg)
+    state = create_train_state(model, root_key)
+    if cfg.run.resume:
+        tree = ckpt.load_checkpoint(cfg.run.resume, best=True) \
+            or ckpt.load_checkpoint(cfg.run.resume)
+        if tree is None:
+            raise SystemExit(f"no checkpoint under {cfg.run.resume}")
+        state = state.replace(
+            params=tree["params"],
+            batch_stats=tree.get("batch_stats", state.batch_stats),
+        )
+        log(f"loaded checkpoint from {cfg.run.resume}")
+    else:
+        log("WARNING: run.resume not set — evaluating a fresh init")
+
+    eval_step = jax.jit(
+        make_sthsth_eval_step(model) if cfg.run.family == "sthsth"
+        else make_eval_step(model)
+    )
+    loader = build_loader(cfg, train=False)
+    prep = make_batch_prep(cfg, train=False)
+    multi_label = cfg.run.dataset in ("actnet", "fcvid")
+    results = validate(state, eval_step, loader, prep, log, multi_label,
+                       jax.random.fold_in(root_key, 0x7FFFFFFF))
+    log("final: " + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
+
+
+if __name__ == "__main__":
+    main()

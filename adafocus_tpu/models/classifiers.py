@@ -79,6 +79,22 @@ class LinearClassifier(nn.Module):
         return jnp.log(jnp.clip(probs, 1e-12))
 
 
+class ConsensusHead(nn.Module):
+    """sth-sth local head: dropout + per-frame FC over focuser features
+    (reference sthsth/models/gfv_net.py:91-93: dropout -> nn.Linear); the
+    average consensus itself is ``avg_consensus`` applied by the caller."""
+
+    num_classes: int
+    dropout_rate: float = 0.5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, features: jax.Array, train: bool = False) -> jax.Array:
+        """(..., D) focuser features -> (..., classes) per-frame logits."""
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(features)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
 def avg_consensus(logits: jax.Array, axis: int = 1) -> jax.Array:
     """Average consensus over the time axis (reference ops/basic_ops.py:9-37)."""
     return jnp.mean(logits, axis=axis)

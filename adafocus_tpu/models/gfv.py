@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from adafocus_tpu.models.classifiers import (
+    ConsensusHead,
     LinearClassifier,
     RecurrentClassifier,
     avg_consensus,
@@ -79,6 +80,8 @@ class GFVConfig:
     policy_bn: bool = False
     tsm: bool = False             # sth-sth temporal-shift variant
     video_div: int = 1            # sth-sth: one action per division
+    with_glancer: bool = True     # sth-sth: add glancer-logit consensus
+    dropout: float = 0.5          # sth-sth local-head dropout
     dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
 
     @property
@@ -133,8 +136,11 @@ class GFV(nn.Module):
             self.classifier = LinearClassifier(
                 num_classes=cfg.num_classes, dtype=cfg.dtype
             )
-        else:  # consensus: focuser features -> per-frame FC (sth-sth head)
-            self.classifier = nn.Dense(cfg.num_classes, dtype=cfg.dtype)
+        else:  # consensus: focuser features -> dropout+FC (sth-sth head)
+            self.classifier = ConsensusHead(
+                num_classes=cfg.num_classes, dropout_rate=cfg.dropout,
+                dtype=cfg.dtype,
+            )
 
     # ---- phase 1: glance -------------------------------------------------
 
@@ -214,6 +220,29 @@ class GFV(nn.Module):
             "value": jnp.swapaxes(value, 0, 1).astype(jnp.float32),
         }
 
+    def policy_rollout_div(
+        self, fmap: jax.Array, rng: jax.Array, mode: str = "sample",
+        train: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """sth-sth rollout: ONE action per video division, the policy seeing
+        the division's glance feature maps channel-stacked (reference
+        action_stage2, sthsth/models/gfv_net.py:136-158: cur_global_feat_map
+        viewed as (B, T/D * C, h, w)).
+
+        fmap: (B, Tg, gh, gw, C). Returns the same dict as
+        ``policy_rollout`` with the time axis = video_div.
+        """
+        cfg = self.cfg
+        b, tg = fmap.shape[:2]
+        d = cfg.video_div
+        if tg % d:
+            raise ValueError(f"num_frames {tg} not divisible by video_div {d}")
+        gh, gw, c = fmap.shape[2:]
+        stacked = jnp.moveaxis(
+            fmap.reshape(b, d, tg // d, gh, gw, c), 2, 4
+        ).reshape(b, d, gh, gw, (tg // d) * c)
+        return self.policy_rollout(stacked, rng, mode, train)
+
     # ---- phase 3: focus + classify ---------------------------------------
 
     def focus(self, patches: jax.Array, train: bool = False) -> jax.Array:
@@ -232,10 +261,12 @@ class GFV(nn.Module):
     def classify_linear(self, fused: jax.Array, train: bool = False) -> jax.Array:
         return self.classifier(fused, train)
 
-    def classify_frame_logits(self, features: jax.Array) -> jax.Array:
+    def classify_frame_logits(
+        self, features: jax.Array, train: bool = False
+    ) -> jax.Array:
         """sth-sth consensus head: per-frame local logits from focuser
         features (B, T, 2048) -> (B, T, classes)."""
-        return self.classifier(features)
+        return self.classifier(features, train)
 
     def classifier_step(self, hidden: jax.Array, feature: jax.Array):
         """Single MDP step of the GRU head (reference single_forward,
@@ -248,13 +279,19 @@ class GFV(nn.Module):
         """Exercises every submodule once so ``init`` creates all params."""
         fmap, pooled = self.glance(frames_small)
         _ = self.glancer.classify(pooled.reshape(-1, pooled.shape[-1]))
-        roll = self.policy_rollout(fmap, rng, mode="sample")
+        if self.cfg.classifier == "consensus":
+            # sth-sth: the policy always sees division-stacked maps
+            # ((Tg/D)*C channels), a different encoder shape than actnet's
+            # per-frame maps — initialize exactly that one.
+            roll = self.policy_rollout_div(fmap, rng, mode="sample")
+        else:
+            roll = self.policy_rollout(fmap, rng, mode="sample")
         local = self.focus(patches)
         _ = self.focuser.fc(local)
-        b, t = fmap.shape[:2]
-        local_bt = jnp.broadcast_to(
-            local[: b * t].reshape(b, t, -1), (b, t, local.shape[-1])
-        )
+        b = fmap.shape[0]
+        # patches are (B * t_focuser, ...); t_focuser == num_frames for actnet
+        t = local.shape[0] // b
+        local_bt = local.reshape(b, t, -1)
         if self.cfg.classifier == "gru":
             fused = jnp.concatenate([pooled, local_bt], axis=-1)
             out = self.classify_seq(fused)

@@ -61,7 +61,9 @@ def create_train_state(model: GFV, rng: jax.Array, tx=None,
     cfg = model.cfg
     b, t = batch_size, cfg.num_frames
     frames_small = jnp.zeros((b, t, cfg.glance_size, cfg.glance_size, 3), cfg.dtype)
-    patches = jnp.zeros((b * t, cfg.patch_size, cfg.patch_size, 3), cfg.dtype)
+    patches = jnp.zeros(
+        (b * cfg.t_focuser, cfg.patch_size, cfg.patch_size, 3), cfg.dtype
+    )
     variables = model.init({"params": rng}, frames_small, patches, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
