@@ -53,30 +53,51 @@ class LoaderConfig:
 
 
 class FrameFolderSource:
-    """Reads JPEG frames from <root>/<record.path>/<tmpl % index>."""
+    """Reads JPEG frames from <root>/<record.path>/<tmpl % index>.
 
-    def __init__(self, root: str, image_tmpl: str = "image_{:06d}.jpg"):
+    Decoding prefers the native C++ core (libjpeg DCT-scaled decode +
+    fixed-point bilinear, native/frame_loader.cc) and falls back to PIL
+    when the native library is unavailable or a file is corrupt.
+    """
+
+    def __init__(self, root: str, image_tmpl: str = "image_{:06d}.jpg",
+                 use_native: bool = True):
         self.root = root
         self.image_tmpl = image_tmpl
+        if use_native:
+            from adafocus_tpu.data import native
+
+            self._native = native if native.available() else None
+        else:
+            self._native = None
 
     def exists(self, record: VideoRecord) -> bool:
         return os.path.exists(
             os.path.join(self.root, record.path, self.image_tmpl.format(1))
         )
 
+    def _frame_path(self, record: VideoRecord, index: int) -> str:
+        return os.path.join(self.root, record.path, self.image_tmpl.format(index))
+
     def load_frame(self, record: VideoRecord, index: int, canvas: int) -> np.ndarray:
         """Decode frame ``index`` (1-based) to (canvas, canvas, 3) uint8:
         resize short side to ``canvas`` then center-crop square (the host
-        half of GroupScale; crops/flips happen on device)."""
+        half of GroupScale; crops/flips happen on device). Missing/corrupt
+        frame falls back to frame 1 (reference dataset.py:82-87)."""
+        path = self._frame_path(record, index)
+        if self._native is not None:
+            out = self._native.decode_file(path, canvas)
+            if out is None:
+                out = self._native.decode_file(
+                    self._frame_path(record, 1), canvas)
+            if out is not None:
+                return out
         from PIL import Image
 
-        path = os.path.join(self.root, record.path, self.image_tmpl.format(index))
         try:
             img = Image.open(path).convert("RGB")
         except Exception:
-            img = Image.open(
-                os.path.join(self.root, record.path, self.image_tmpl.format(1))
-            ).convert("RGB")
+            img = Image.open(self._frame_path(record, 1)).convert("RGB")
         w, h = img.size
         scale = canvas / min(w, h)
         img = img.resize(
