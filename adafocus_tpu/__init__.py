@@ -20,3 +20,21 @@ batched patch extraction -> focuser -> aggregate, with no host round-trips.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(cache_dir: str = "") -> None:
+    """Turn on JAX's persistent compilation cache so repeated runs (bench
+    sweeps, CLI restarts, the driver's checks) skip recompiles. First
+    compiles through this environment's tunneled TPU take minutes, so this
+    is a large quality-of-life lever; call before the first jit."""
+    import os
+
+    import jax
+
+    path = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/adafocus_tpu/xla"),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,102 @@
+"""Benchmark helpers: on-device timed inference loops + analytic
+GFLOPs/video, shared by bench.py (driver contract) and
+benchmarks/run_benchmarks.py (the BASELINE-format sweep).
+
+Timing methodology: this environment reaches the TPU through a tunnel
+where per-dispatch RPC overhead is large, so the timed loop runs INSIDE
+one jit dispatch (lax.fori_loop with a genuine loop-carried dependency so
+XLA cannot hoist the body) and completion is forced by fetching a scalar.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adafocus_tpu.models.gfv import GFV, GFVConfig, inference
+from adafocus_tpu.models.gfv_sthsth import inference_sthsth
+from adafocus_tpu.ops.patch import pad_for_extraction
+from adafocus_tpu.train.stages import create_train_state
+
+
+def make_data(cfg: GFVConfig, batch: int, dtype=None):
+    dtype = dtype or cfg.dtype
+    tf = cfg.t_focuser
+    frames = jnp.zeros((batch * tf, cfg.image_size, cfg.image_size, 3), dtype)
+    flat = pad_for_extraction(frames)
+    return {
+        "frames_flat": flat.reshape(batch, tf, *flat.shape[1:]),
+        "frames_small": jnp.zeros(
+            (batch, cfg.num_frames, cfg.glance_size, cfg.glance_size, 3), dtype
+        ),
+    }
+
+
+def _inference_fn(model: GFV):
+    fam_inference = (
+        inference_sthsth if model.cfg.classifier == "consensus" else inference
+    )
+
+    def fn(params, batch_stats, frames_flat, frames_small, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return fam_inference(model, variables, frames_flat, frames_small, rng)
+
+    return fn
+
+
+def time_inference(
+    model: GFV,
+    batch: int = 64,
+    inner_iters: int = 10,
+    repeats: int = 3,
+    seed: int = 0,
+) -> float:
+    """Best-of-``repeats`` videos/sec for the deployment forward."""
+    cfg = model.cfg
+    state = create_train_state(model, jax.random.key(seed), batch_size=1)
+    data = make_data(cfg, batch)
+    fn = _inference_fn(model)
+
+    @jax.jit
+    def timed(params, batch_stats, frames_flat, frames_small, rng):
+        def body(i, carry):
+            small, acc = carry
+            logits = fn(params, batch_stats, frames_flat, small, rng)
+            eps = jnp.mean(logits).astype(small.dtype) * jnp.asarray(
+                1e-12, small.dtype)
+            return small + eps, acc + jnp.mean(logits).astype(jnp.float32)
+
+        _, acc = jax.lax.fori_loop(
+            0, inner_iters, body, (frames_small, jnp.float32(0.0))
+        )
+        return acc
+
+    args = (state.params, state.batch_stats, data["frames_flat"],
+            data["frames_small"], jax.random.key(seed + 1))
+    float(timed(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(timed(*args))
+        best = min(best, time.perf_counter() - t0)
+    return batch * inner_iters / best
+
+
+def inference_gflops_per_video(model: GFV, batch: int = 8) -> float:
+    """Analytic GFLOPs/video of the deployment forward (XLA cost
+    analysis of the compiled program — counts post-fusion work)."""
+    cfg = model.cfg
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    data = make_data(cfg, batch)
+    fn = _inference_fn(model)
+    compiled = jax.jit(fn).lower(
+        state.params, state.batch_stats, data["frames_flat"],
+        data["frames_small"], jax.random.key(1),
+    ).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0)) / batch / 1e9

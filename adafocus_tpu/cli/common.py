@@ -41,7 +41,11 @@ from adafocus_tpu.ops.patch import pad_for_extraction
 def apply_platform(run_cfg) -> None:
     """Re-point JAX before backend init (must run before any device op).
     ``run.platform=cpu run.host_devices=8`` gives the virtual multi-chip
-    CPU mesh for debugging distributed logic without hardware."""
+    CPU mesh for debugging distributed logic without hardware. Also turns
+    on the persistent compilation cache (restarts skip recompiles)."""
+    import adafocus_tpu
+
+    adafocus_tpu.enable_compilation_cache()
     if run_cfg.host_devices:
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (

@@ -65,7 +65,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     prep = make_batch_prep(cfg, train=False)
     multi_label = cfg.run.dataset in ("actnet", "fcvid")
     results = validate(state, eval_step, loader, prep, log, multi_label,
-                       jax.random.fold_in(root_key, 0x7FFFFFFF))
+                       jax.random.fold_in(root_key, 0x7FFFFFFF),
+                       anytime=cfg.run.anytime_eval)
     log("final: " + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
 
 

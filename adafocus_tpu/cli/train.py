@@ -90,31 +90,40 @@ def make_tx(cfg: ExperimentConfig, steps_per_epoch: int):
 
 
 def validate(state, eval_step, loader, prep, log, multi_label: bool,
-             rng) -> dict:
+             rng, anytime: bool = False) -> dict:
     """Eval epoch: device top-1/5 averaging + host mAP over the gathered
-    set (reference main_dist.py:307-421)."""
+    set (reference main_dist.py:307-421). With ``anytime`` and a GRU head
+    (per-step logits), also reports mAP after every timestep — the
+    reference's per-timestep mAP table (main_dist.py:401-417)."""
     top1, top5 = AverageMeter("top1"), AverageMeter("top5")
-    all_scores, all_labels = [], []
+    all_scores, all_labels, all_steps = [], [], []
     for i, raw in enumerate(loader):
         batch, full_labels = prep(raw, jax.random.fold_in(rng, i))
         logits, metrics = eval_step(state, batch, jax.random.fold_in(rng, i))
         b = batch["labels"].shape[0]
         top1.update(float(metrics["top1"]), b)
         top5.update(float(metrics["top5"]), b)
-        final = logits[:, -1] if logits.ndim == 3 else logits
-        all_scores.append(np.asarray(jax.nn.softmax(
-            final.astype(jnp.float32), axis=-1)))
+        probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+        if probs.ndim == 3:
+            all_scores.append(probs[:, -1])
+            if anytime:
+                all_steps.append(probs)
+        else:
+            all_scores.append(probs)
         all_labels.append(full_labels)
     out = {"top1": top1.avg, "top5": top5.avg}
     if all_scores:
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
-        if multi_label:
-            out["mAP"] = mean_average_precision(
-                scores, multi_hot(labels, scores.shape[1]))
-        else:
-            out["mAP"] = mean_average_precision(
-                scores, multi_hot(labels.reshape(-1, 1)[:, :1], scores.shape[1]))
+        hot = multi_hot(labels, scores.shape[1]) if multi_label else \
+            multi_hot(labels.reshape(len(labels), -1)[:, :1], scores.shape[1])
+        out["mAP"] = mean_average_precision(scores, hot)
+        if all_steps:
+            steps = np.concatenate(all_steps)  # (N, T, C)
+            per_t = [mean_average_precision(steps[:, t], hot)
+                     for t in range(steps.shape[1])]
+            log("  * anytime mAP per timestep: "
+                + " ".join(f"{m:.4f}" for m in per_t))
     log(f"  * val: " + " ".join(f"{k}={v:.4f}" for k, v in out.items()))
     return out
 
@@ -191,21 +200,32 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     prep_eval = make_batch_prep(cfg, train=False)
     multi_label = cfg.run.dataset in ("actnet", "fcvid")
 
+    from adafocus_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard.install()
+    epoch = start_epoch
     for epoch in range(start_epoch, cfg.run.epochs):
         train_loader.set_epoch(epoch)
         meter = ProgressMeter(steps_per_epoch, prefix=f"epoch {epoch} ")
         epoch_key = jax.random.fold_in(root_key, epoch)
         for i, raw in enumerate(train_loader):
+            if guard.should_stop:
+                break
             bkey = jax.random.fold_in(epoch_key, i)
             batch, _ = prep_train(raw, bkey)
             state, metrics = train_step(state, put(batch), bkey)
             if (i + 1) % cfg.run.print_freq == 0 or i + 1 == steps_per_epoch:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 log(meter.line(i, metrics))
+        if guard.should_stop:
+            log("preemption signal received — checkpointing and stopping")
+            break
 
         if (epoch + 1) % cfg.run.eval_freq == 0 or epoch + 1 == cfg.run.epochs:
             results = validate(state, eval_step, val_loader, prep_eval, log,
-                               multi_label, jax.random.fold_in(root_key, 0x7FFFFFFF))
+                               multi_label,
+                               jax.random.fold_in(root_key, 0x7FFFFFFF),
+                               anytime=cfg.run.anytime_eval)
             acc = results.get("mAP", results["top1"]) if multi_label \
                 else results["top1"]
             is_best = acc > best_acc
@@ -216,6 +236,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             )
             log(f"  * checkpoint saved (acc={acc:.4f}, best={best_acc:.4f})")
 
+    guard.finalize(lambda: ckpt.save_checkpoint(
+        cfg.run.ckpt_dir, jax.device_get(state), epoch, best_acc, best_acc))
     log(f"done. best acc {best_acc:.4f}")
 
 

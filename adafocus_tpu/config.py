@@ -45,6 +45,7 @@ class RunConfig:
     print_freq: int = 20
     platform: str = ""            # '' = default backend; 'cpu'/'tpu' forces
     host_devices: int = 0         # >0: virtual CPU device count (debugging)
+    anytime_eval: bool = False    # report per-timestep mAP (GRU head only)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -64,7 +64,10 @@ def create_train_state(model: GFV, rng: jax.Array, tx=None,
     patches = jnp.zeros(
         (b * cfg.t_focuser, cfg.patch_size, cfg.patch_size, 3), cfg.dtype
     )
-    variables = model.init({"params": rng}, frames_small, patches, rng)
+    # jit the init: one compiled program instead of hundreds of eager
+    # dispatches (a large win on remote/tunneled backends), and it lands in
+    # the persistent compilation cache.
+    variables = jax.jit(model.init)({"params": rng}, frames_small, patches, rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params) if tx is not None else None

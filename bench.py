@@ -4,65 +4,32 @@ Prints ONE JSON line. vs_baseline compares against the reference's best
 published GPU throughput, 143.8 videos/s (AdaFocus-TSM 144^2, batch 64, RTX
 2080Ti — BASELINE.md); our flagship here is the ActivityNet configuration
 (16 frames, 96^2 glance + 96^2 patches, MobileNetV2+ResNet-50+GRU, bf16),
-whose per-video FLOPs (~17 GF) are in the same range as the reference
-throughput config (~23.5 GF). Round 2+ adds the exact sth-sth TSM bench.
+whose per-video FLOPs (~17 GF) are below the reference throughput config
+(~23.5 GF). The full BASELINE-format sweep (both families, every patch
+size, analytic GFLOPs/video) lives in benchmarks/run_benchmarks.py.
 
-Methodology note: this environment executes through a remote-tunneled TPU
-where per-dispatch RPC overhead is hundreds of ms and block_until_ready does
-not reflect device completion, so the timing loop runs INSIDE one jit
-dispatch (lax.fori_loop with a genuine loop-carried dependency to defeat
-LICM) and completion is forced by fetching a scalar to host.
+See adafocus_tpu/benchmark.py for the timing methodology (in-dispatch
+fori_loop with a loop-carried dependency; scalar fetch forces completion).
 """
 
 import json
 import os
-import time
-
-import jax
-import jax.numpy as jnp
 
 
 def main():
+    import adafocus_tpu
+
+    adafocus_tpu.enable_compilation_cache()
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     inner_iters = int(os.environ.get("BENCH_ITERS", "10"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    from __graft_entry__ import _flagship, _make_batch
-    from adafocus_tpu.models.gfv import inference
-    from adafocus_tpu.train.stages import create_train_state
+    from __graft_entry__ import _flagship
+    from adafocus_tpu.benchmark import time_inference
 
-    model = _flagship()
-    cfg = model.cfg
-    state = create_train_state(model, jax.random.key(0), batch_size=1)
-    data = _make_batch(cfg, b=batch, dtype=cfg.dtype)
-
-    @jax.jit
-    def timed(params, batch_stats, frames_flat, frames_small, rng):
-        variables = {"params": params, "batch_stats": batch_stats}
-
-        def body(i, carry):
-            small, acc = carry
-            logits = inference(model, variables, frames_flat, small, rng)
-            # loop-carried dependency: perturb the glance input by an
-            # epsilon of the output so XLA cannot hoist the body.
-            eps = jnp.mean(logits).astype(small.dtype) * jnp.asarray(1e-12, small.dtype)
-            return small + eps, acc + jnp.mean(logits)
-
-        _, acc = jax.lax.fori_loop(
-            0, inner_iters, body, (frames_small, jnp.float32(0.0))
-        )
-        return acc
-
-    args = (state.params, state.batch_stats, data["frames_flat"],
-            data["frames_small"], jax.random.key(1))
-    float(timed(*args))  # compile + warm
-
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(timed(*args))  # scalar fetch forces completion
-        best = min(best, time.perf_counter() - t0)
-    videos_per_sec = batch * inner_iters / best
+    videos_per_sec = time_inference(
+        _flagship(), batch=batch, inner_iters=inner_iters, repeats=repeats
+    )
 
     baseline = 143.8  # reference GPU videos/s (BASELINE.md)
     print(json.dumps({

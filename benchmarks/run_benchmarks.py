@@ -1,0 +1,120 @@
+"""Benchmark sweep reproducing the reference's headline table format
+(BASELINE.md): videos/sec/chip + analytic GFLOPs/video per patch size for
+both families, on whatever accelerator JAX exposes.
+
+Usage: ``python benchmarks/run_benchmarks.py [--batch 64] [--families
+actnet,sthsth] [--quick]``. Writes ``benchmarks/results.json`` and prints a
+markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+# reference numbers to compare against (BASELINE.md)
+REFERENCE = {
+    ("actnet", 96): {"gflops": 17.0},
+    ("actnet", 128): {"gflops": 27.0},
+    ("actnet", 160): {"gflops": 38.0},
+    ("actnet", 192): {"gflops": 53.0},
+    ("sthsth", 144): {"gflops": 23.5, "videos_per_sec": 143.8},
+    ("sthsth", 160): {"gflops": 27.5, "videos_per_sec": 122.1},
+    ("sthsth", 176): {"gflops": 33.7, "videos_per_sec": 104.2},
+}
+
+
+def actnet_cfg(patch: int):
+    from adafocus_tpu.models.gfv import GFVConfig
+
+    return GFVConfig(
+        num_classes=200, num_frames=16, image_size=224, glance_size=96,
+        patch_size=patch, action_dim=49, dtype=jnp.bfloat16,
+    )
+
+
+def sthsth_cfg(patch: int):
+    from adafocus_tpu.models.gfv import GFVConfig
+
+    return GFVConfig(
+        num_classes=174, num_frames=8, num_frames_focuser=12, image_size=224,
+        glance_size=96, patch_size=patch, action_dim=49,
+        classifier="consensus", tsm=True, video_div=1, dtype=jnp.bfloat16,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--families", default="actnet,sthsth")
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer iters/repeats, skip flops")
+    args = ap.parse_args()
+
+    import adafocus_tpu
+
+    adafocus_tpu.enable_compilation_cache()
+    from adafocus_tpu.benchmark import (
+        inference_gflops_per_video,
+        time_inference,
+    )
+    from adafocus_tpu.models.gfv import GFV
+
+    sweeps = {
+        "actnet": ((96, 128, 160, 192), actnet_cfg),
+        "sthsth": ((144, 160, 176), sthsth_cfg),
+    }
+    inner, repeats = (3, 1) if args.quick else (10, 3)
+
+    results = []
+    for family in args.families.split(","):
+        patches, make_cfg = sweeps[family]
+        for patch in patches:
+            model = GFV(make_cfg(patch))
+            vps = time_inference(model, batch=args.batch,
+                                 inner_iters=inner, repeats=repeats)
+            row = {"family": family, "patch": patch,
+                   "videos_per_sec": round(vps, 1),
+                   "batch": args.batch,
+                   "device": jax.devices()[0].device_kind}
+            if not args.quick:
+                row["gflops_per_video"] = round(
+                    inference_gflops_per_video(model), 2)
+            ref = REFERENCE.get((family, patch), {})
+            if "videos_per_sec" in ref:
+                row["speedup_vs_ref_gpu"] = round(
+                    vps / ref["videos_per_sec"], 2)
+            if "gflops" in ref:
+                row["ref_gflops"] = ref["gflops"]
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "results.json")
+    merged = {}
+    if os.path.exists(out):  # family-at-a-time runs accumulate
+        with open(out) as f:
+            for r in json.load(f):
+                merged[(r["family"], r["patch"])] = r
+    for r in results:
+        merged[(r["family"], r["patch"])] = r
+    with open(out, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
+
+    print("\n| family | patch | videos/s/chip | GFLOPs/video (ref) | vs ref GPU |")
+    print("|---|---|---|---|---|")
+    for r in results:
+        print(f"| {r['family']} | {r['patch']}^2 | {r['videos_per_sec']} "
+              f"| {r.get('gflops_per_video', '-')} ({r.get('ref_gflops', '-')}) "
+              f"| {r.get('speedup_vs_ref_gpu', '-')}x |")
+
+
+if __name__ == "__main__":
+    main()
