@@ -26,12 +26,19 @@ from adafocus_tpu.models.gru import GRUCell
 
 
 class RecurrentClassifier(nn.Module):
+    """With ``in_dim`` set (the composed models always set it), the
+    sequence forward uses the TPU fast path: the GRU input projection and
+    the per-step FC run as single batched (B*T) matmuls; only the (H, 3H)
+    recurrence is scanned."""
+
     num_classes: int
     hidden_dim: int = 1024
+    in_dim: Optional[int] = None
     dtype: Any = None
 
     def setup(self):
-        self.gru = GRUCell(hidden_size=self.hidden_dim, dtype=self.dtype)
+        self.gru = GRUCell(hidden_size=self.hidden_dim,
+                           in_features=self.in_dim, dtype=self.dtype)
         self.fc = nn.Dense(self.num_classes, dtype=self.dtype)
 
     def initial_hidden(self, batch: int) -> jax.Array:
@@ -47,6 +54,9 @@ class RecurrentClassifier(nn.Module):
         b = features.shape[0]
         h0 = self.initial_hidden(b)
         xs = jnp.swapaxes(features, 0, 1)  # (T, B, D)
+        if self.in_dim is not None:
+            _, hs = self.gru.scan_time(h0, xs)       # (T, B, H)
+            return jnp.swapaxes(self.fc(hs), 0, 1)   # batched FC
 
         def body(module, h, x):
             return module.step(h, x)

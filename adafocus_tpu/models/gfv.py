@@ -42,13 +42,7 @@ from adafocus_tpu.models.classifiers import (
     avg_consensus,
 )
 from adafocus_tpu.models.mobilenet import MobileNetV2
-from adafocus_tpu.models.policy import (
-    ActorCritic,
-    discrete_to_coords,
-    greedy_discrete,
-    sample_continuous,
-    sample_discrete,
-)
+from adafocus_tpu.models.policy import ActorCritic, sample_rollout
 from adafocus_tpu.models.resnet import resnet50
 from adafocus_tpu.ops.patch import (
     extract_patches,
@@ -130,7 +124,8 @@ class GFV(nn.Module):
         )
         if cfg.classifier == "gru":
             self.classifier = RecurrentClassifier(
-                num_classes=cfg.num_classes, hidden_dim=cfg.hidden_dim, dtype=cfg.dtype
+                num_classes=cfg.num_classes, hidden_dim=cfg.hidden_dim,
+                in_dim=cfg.fused_dim, dtype=cfg.dtype,
             )
         elif cfg.classifier == "linear":
             self.classifier = LinearClassifier(
@@ -182,37 +177,13 @@ class GFV(nn.Module):
         encoded per-step policy inputs are recoverable from fmap.
         """
         cfg = self.cfg
-        b, t = fmap.shape[:2]
+        t = fmap.shape[1]
         xs = jnp.swapaxes(fmap, 0, 1)  # (T, B, gh, gw, C)
-        keys = jax.random.split(rng, t)
-
-        def body(policy, h, x):
-            fm, key = x
-            h, actor_out, value = policy.step(h, fm, train)
-            if cfg.continuous_policy:
-                if mode == "sample":
-                    action, logprob = sample_continuous(key, actor_out, cfg.action_std)
-                else:
-                    action, logprob = actor_out, jnp.zeros(actor_out.shape[:-1])
-                idx = jnp.zeros(action.shape[:-1], jnp.int32)
-            else:
-                if mode == "sample":
-                    idx, logprob = sample_discrete(key, actor_out)
-                else:
-                    idx = greedy_discrete(actor_out)
-                    logprob = jnp.zeros(idx.shape)
-                action = discrete_to_coords(idx, cfg.action_dim)
-            return h, (action, idx, logprob, value)
-
-        scan = nn.scan(
-            body,
-            variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
+        _, actor_out, value = self.policy.rollout_states(xs, train)
+        actions, idx, logprob = sample_rollout(
+            actor_out, rng, mode, cfg.continuous_policy, cfg.action_dim,
+            cfg.action_std,
         )
-        h0 = self.policy.initial_hidden(b)
-        _, (actions, idx, logprob, value) = scan(self.policy, h0, (xs, keys))
         return {
             "actions": jnp.swapaxes(actions, 0, 1).astype(jnp.float32),
             "action_idx": jnp.swapaxes(idx, 0, 1),

@@ -98,7 +98,8 @@ class ActorCritic(nn.Module):
             use_bn=self.encoder_bn,
             dtype=self.dtype,
         )
-        self.gru = GRUCell(hidden_size=self.hidden_dim, dtype=self.dtype)
+        self.gru = GRUCell(hidden_size=self.hidden_dim,
+                           in_features=self.feat_dim, dtype=self.dtype)
         out_dim = 2 if self.continuous else self.action_dim
         self.actor = nn.Dense(out_dim, dtype=self.dtype)
         self.critic = nn.Dense(1, dtype=self.dtype)
@@ -127,6 +128,63 @@ class ActorCritic(nn.Module):
 
     def __call__(self, hidden: jax.Array, fmap: jax.Array, train: bool = False):
         return self.step(hidden, fmap, train)
+
+    def rollout_states(
+        self, fmaps_tb: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Whole-episode fast path: encode ALL timesteps in one batched
+        call, scan only the GRU recurrence, then run actor/critic batched.
+
+        Exact w.r.t. the stepwise path because actions never feed back into
+        the recurrence (the GRU input is the encoded glance features only —
+        reference ppo.py:67-96); the reference itself evaluates episodes
+        batched this way (ppo.py:98-122).
+
+        fmaps_tb: (T, B, gh, gw, C). Returns time-major
+        (hiddens (T, B, H), actor_out (T, B, K|2), value (T, B)).
+        """
+        t, b = fmaps_tb.shape[:2]
+        flat = fmaps_tb.reshape((t * b,) + fmaps_tb.shape[2:])
+        states = self.encoder(flat, train).reshape(t, b, -1)
+        _, hiddens = self.gru.scan_time(self.initial_hidden(b), states)
+        actor_out = self.actor(hiddens)
+        if self.continuous:
+            actor_out = jax.nn.sigmoid(actor_out)
+        value = self.critic(hiddens)[..., 0]
+        return hiddens, actor_out, value
+
+
+def sample_rollout(
+    actor_out: jax.Array,
+    rng: jax.Array,
+    mode: str,
+    continuous: bool,
+    action_dim: int,
+    action_std: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched action selection over a whole time-major rollout.
+
+    actor_out: (T, B, K) logits or (T, B, 2) sigmoid means.
+    Returns time-major (actions (T,B,2), idx (T,B), logprob (T,B)) —
+    idx is zeros for continuous policies, logprob zeros in greedy mode.
+    """
+    t = actor_out.shape[0]
+    keys = jax.random.split(rng, t)
+    if continuous:
+        if mode == "sample":
+            actions, logprob = jax.vmap(sample_continuous, in_axes=(0, 0, None))(
+                keys, actor_out, action_std)
+        else:
+            actions, logprob = actor_out, jnp.zeros(actor_out.shape[:-1])
+        idx = jnp.zeros(actions.shape[:-1], jnp.int32)
+    else:
+        if mode == "sample":
+            idx, logprob = jax.vmap(sample_discrete)(keys, actor_out)
+        else:
+            idx = greedy_discrete(actor_out)
+            logprob = jnp.zeros(idx.shape)
+        actions = discrete_to_coords(idx, action_dim)
+    return actions, idx, logprob
 
 
 def sample_discrete(

@@ -30,7 +30,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import linen as nn
 from flax import struct
 
 from adafocus_tpu.models.policy import ActorCritic, gaussian_logprob
@@ -142,34 +141,18 @@ def evaluate_episode(
       in [0,1]^2 (continuous).
     Returns (logprobs (T,B), values (T,B), entropy (T,B)).
     """
-    b = fmaps_tb.shape[1]
-
-    def body(mod, h, x):
-        fm, act = x
-        h, actor_out, value = mod.step(h, fm, train)
-        if mod.continuous:
-            logp = gaussian_logprob(act, actor_out, mod.action_std)
-            var = mod.action_std**2
-            ent = jnp.full(logp.shape, 0.5 * 2 * (1.0 + jnp.log(2 * jnp.pi * var)))
-        else:
-            logprobs = jax.nn.log_softmax(actor_out, axis=-1)
-            logp = jnp.take_along_axis(logprobs, act[..., None], axis=-1)[..., 0]
-            probs = jax.nn.softmax(actor_out, axis=-1)
-            ent = -jnp.sum(probs * logprobs, axis=-1)
-        return h, (logp, value, ent)
-
-    def run(mod):
-        scan = nn.scan(
-            body,
-            variable_broadcast=["params", "batch_stats"],
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )
-        h0 = mod.initial_hidden(b)
-        return scan(mod, h0, (fmaps_tb, actions_tb))
-
-    _, (logp, value, ent) = nn.apply(run, policy)(variables)
+    _, actor_out, value = policy.apply(
+        variables, fmaps_tb, train, method=ActorCritic.rollout_states
+    )
+    if policy.continuous:
+        logp = gaussian_logprob(actions_tb, actor_out, policy.action_std)
+        var = policy.action_std**2
+        ent = jnp.full(logp.shape, 0.5 * 2 * (1.0 + jnp.log(2 * jnp.pi * var)))
+    else:
+        logprobs = jax.nn.log_softmax(actor_out, axis=-1)
+        logp = jnp.take_along_axis(logprobs, actions_tb[..., None], axis=-1)[..., 0]
+        probs = jax.nn.softmax(actor_out, axis=-1)
+        ent = -jnp.sum(probs * logprobs, axis=-1)
     return logp.astype(jnp.float32), value.astype(jnp.float32), ent.astype(jnp.float32)
 
 

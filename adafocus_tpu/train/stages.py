@@ -311,38 +311,21 @@ def make_stage2_step(
 
 def _rollout_time_major(policy, variables, fmaps_tb, rng, cfg: GFVConfig):
     """Sample-mode behavior rollout, time-major (the reference's Memory —
-    ppo.py:9-24 — as scan-stacked arrays)."""
-    from flax import linen as nn
+    ppo.py:9-24 — as scan-stacked arrays). Uses the batched fast path:
+    encoder/actor/critic run once over (T*B); only the GRU recurrence
+    scans."""
+    from adafocus_tpu.models.policy import ActorCritic, sample_rollout
 
-    from adafocus_tpu.models.policy import (
-        discrete_to_coords,
-        sample_continuous,
-        sample_discrete,
+    _, actor_out, value = policy.apply(
+        variables, fmaps_tb, False, method=ActorCritic.rollout_states
     )
-
-    t, b = fmaps_tb.shape[:2]
-    keys = jax.random.split(rng, t)
-
-    def body(mod, h, x):
-        fm, key = x
-        h, actor_out, value = mod.step(h, fm, False)
-        if cfg.continuous_policy:
-            action, logp = sample_continuous(key, actor_out, cfg.action_std)
-            coords, store = action, action
-        else:
-            idx, logp = sample_discrete(key, actor_out)
-            coords, store = discrete_to_coords(idx, cfg.action_dim), idx
-        return h, (coords, store, logp, value)
-
-    def run(mod):
-        scan = nn.scan(body, variable_broadcast=["params", "batch_stats"],
-                       split_rngs={"params": False}, in_axes=0, out_axes=0)
-        return scan(mod, mod.initial_hidden(b), (fmaps_tb, keys))
-
-    _, (coords, store, logp, value) = nn.apply(run, policy)(variables)
+    coords, idx, logp = sample_rollout(
+        actor_out, rng, "sample", cfg.continuous_policy, cfg.action_dim,
+        cfg.action_std,
+    )
     return {
         "coords": coords.astype(jnp.float32),
-        "store": store,
+        "store": coords if cfg.continuous_policy else idx,
         "logprob": logp.astype(jnp.float32),
         "value": value.astype(jnp.float32),
     }
