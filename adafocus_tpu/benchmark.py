@@ -85,9 +85,16 @@ def time_inference(
     return batch * inner_iters / best
 
 
-def inference_gflops_per_video(model: GFV, batch: int = 8) -> float:
+def inference_gflops_per_video(
+    model: GFV, batch: int = 8, mac_convention: bool = True
+) -> float:
     """Analytic GFLOPs/video of the deployment forward (XLA cost
-    analysis of the compiled program — counts post-fusion work)."""
+    analysis of the compiled program — counts post-fusion work).
+
+    ``mac_convention`` (default) halves XLA's multiply+add=2 count to the
+    MAC=1 convention the reference's published numbers use (thop-style,
+    e.g. "ResNet-50 = 4.1 GFLOPs @ 224^2"), so values compare directly
+    against BASELINE.md."""
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(0), batch_size=1)
     data = make_data(cfg, batch)
@@ -99,4 +106,7 @@ def inference_gflops_per_video(model: GFV, batch: int = 8) -> float:
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
-    return float(cost.get("flops", 0.0)) / batch / 1e9
+    flops = float(cost.get("flops", 0.0))
+    if mac_convention:
+        flops /= 2.0
+    return flops / batch / 1e9

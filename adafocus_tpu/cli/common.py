@@ -94,7 +94,12 @@ def synthetic_records(n: int, num_classes: int, frames: int = 64):
 def build_loader(cfg: ExperimentConfig, train: bool) -> VideoLoader:
     run = cfg.run
     loader_cfg = cfg.loader
-    mode = "train" if train else "val"
+    if train:
+        mode = "train"
+    elif loader_cfg.dense_sample or loader_cfg.twice_sample:
+        mode = "test"  # dense/twice multi-clip sampling (test-time)
+    else:
+        mode = "val"
     loader_cfg = LoaderConfig(
         **{**loader_cfg.__dict__, "mode": mode,
            "multi_label": run.dataset in ("actnet", "fcvid"),
@@ -149,19 +154,31 @@ def make_batch_prep(cfg: ExperimentConfig, train: bool) -> Callable:
 
     prep = jax.jit(prep)
 
+    def split_clips(frames: "jnp.ndarray", t_model: int):
+        """(B, k*T, ...) test-time multi-clip sampling (dense/twice,
+        reference dataset.py:154-173) -> (B*k, T, ...) clips."""
+        b, t_total = frames.shape[:2]
+        k = t_total // t_model
+        if k <= 1:
+            return frames, 1
+        return frames.reshape((b * k, t_model) + frames.shape[2:]), k
+
     def run(raw: dict, rng: jax.Array):
         labels = jnp.asarray(raw["labels"])
-        if labels.ndim == 2:
-            labels_train = labels[:, 0]
-        else:
-            labels_train = labels
-        batch = prep(
-            jnp.asarray(raw["frames"]),
-            jnp.asarray(raw.get("frames_focuser", raw["frames"])),
-            labels_train.astype(jnp.int32),
-            rng,
-        )
-        return batch, np.asarray(labels)
+        labels_train = labels[:, 0] if labels.ndim == 2 else labels
+        g_frames = jnp.asarray(raw["frames"])
+        f_frames = jnp.asarray(raw.get("frames_focuser", raw["frames"]))
+        k = 1
+        if not train:
+            g_frames, k = split_clips(g_frames, model_cfg.num_frames)
+            f_frames, kf = split_clips(f_frames, model_cfg.t_focuser)
+            if kf != k:
+                raise ValueError(
+                    f"clip counts differ between streams: {k} vs {kf}")
+            if k > 1:
+                labels_train = jnp.repeat(labels_train, k)
+        batch = prep(g_frames, f_frames, labels_train.astype(jnp.int32), rng)
+        return batch, np.asarray(labels), k
 
     return run
 

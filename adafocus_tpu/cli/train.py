@@ -98,18 +98,29 @@ def validate(state, eval_step, loader, prep, log, multi_label: bool,
     top1, top5 = AverageMeter("top1"), AverageMeter("top5")
     all_scores, all_labels, all_steps = [], [], []
     for i, raw in enumerate(loader):
-        batch, full_labels = prep(raw, jax.random.fold_in(rng, i))
+        batch, full_labels, k = prep(raw, jax.random.fold_in(rng, i))
         logits, metrics = eval_step(state, batch, jax.random.fold_in(rng, i))
         b = batch["labels"].shape[0]
-        top1.update(float(metrics["top1"]), b)
-        top5.update(float(metrics["top5"]), b)
         probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
+        if k > 1:  # multi-clip (dense/twice) eval: average softmax over clips
+            probs = probs.reshape((b // k, k) + probs.shape[1:]).mean(axis=1)
         if probs.ndim == 3:
-            all_scores.append(probs[:, -1])
+            scores = probs[:, -1]
             if anytime:
                 all_steps.append(probs)
         else:
-            all_scores.append(probs)
+            scores = probs
+        if k > 1:  # clip-averaged accuracy recomputed on host
+            labels1 = full_labels.reshape(len(full_labels), -1)[:, 0]
+            order = np.argsort(-scores, axis=1)
+            top1.update(float((order[:, 0] == labels1).mean()), len(labels1))
+            top5.update(
+                float((order[:, :5] == labels1[:, None]).any(1).mean()),
+                len(labels1))
+        else:
+            top1.update(float(metrics["top1"]), b)
+            top5.update(float(metrics["top5"]), b)
+        all_scores.append(scores)
         all_labels.append(full_labels)
     out = {"top1": top1.avg, "top5": top5.avg}
     if all_scores:
@@ -212,7 +223,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             if guard.should_stop:
                 break
             bkey = jax.random.fold_in(epoch_key, i)
-            batch, _ = prep_train(raw, bkey)
+            batch, _, _ = prep_train(raw, bkey)
             state, metrics = train_step(state, put(batch), bkey)
             if (i + 1) % cfg.run.print_freq == 0 or i + 1 == steps_per_epoch:
                 metrics = {k: float(v) for k, v in metrics.items()}
