@@ -56,20 +56,33 @@ from adafocus_tpu.train.stages_sthsth import (
 )
 
 
-def build_steps(cfg: ExperimentConfig, model, tx):
+def build_steps(cfg: ExperimentConfig, model, tx, axis_name=None):
     """(train_step, eval_step) for the configured family/stage."""
     family, stage = cfg.run.family, cfg.run.stage
     if family == "sthsth":
         if stage == 2:
-            train = make_sthsth_stage2_step(model, cfg.ppo)
+            train = make_sthsth_stage2_step(model, cfg.ppo, axis_name=axis_name)
         else:
-            train = make_sthsth_train_step(model, stage, tx)
+            train = make_sthsth_train_step(model, stage, tx, axis_name=axis_name)
         return train, make_sthsth_eval_step(model)
+    if cfg.model.frame_budget > 0 and stage in (1, 3):
+        from adafocus_tpu.train.stages_plus import (
+            make_plus_eval_step,
+            make_plus_train_step,
+        )
+
+        train = make_plus_train_step(model, stage, tx, axis_name=axis_name)
+        return train, make_plus_eval_step(model)
     if stage == 2:
-        train = make_stage2_step(model, cfg.ppo)
+        train = make_stage2_step(model, cfg.ppo, axis_name=axis_name)
     else:
-        train = make_stage_train_step(model, stage, tx)
-    return train, make_eval_step(model)
+        train = make_stage_train_step(model, stage, tx, axis_name=axis_name)
+    eval_step = make_eval_step(model)
+    if cfg.model.frame_budget > 0:
+        from adafocus_tpu.train.stages_plus import make_plus_eval_step
+
+        eval_step = make_plus_eval_step(model)
+    return train, eval_step
 
 
 def make_tx(cfg: ExperimentConfig, steps_per_epoch: int):
@@ -185,24 +198,16 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         log(f"stage-{stage} warm start from {cfg.run.warm_start} "
             f"(components: {ckpt.STAGE_LOADS[stage]})")
 
-    train_step, eval_step = build_steps(cfg, model, tx)
     n_dev = jax.device_count()
     if n_dev > 1:
         mesh = make_mesh()
-        family, st = cfg.run.family, stage
-        if family == "sthsth":
-            sharded = (make_sthsth_stage2_step(model, cfg.ppo, axis_name="data")
-                       if st == 2 else
-                       make_sthsth_train_step(model, st, tx, axis_name="data"))
-        else:
-            sharded = (make_stage2_step(model, cfg.ppo, axis_name="data")
-                       if st == 2 else
-                       make_stage_train_step(model, st, tx, axis_name="data"))
-        train_step = shard_train_step(sharded, mesh, donate_state=False)
+        train_step, eval_step = build_steps(cfg, model, tx, axis_name="data")
+        train_step = shard_train_step(train_step, mesh, donate_state=False)
         state = replicate(state, mesh)
         put = lambda b: shard_batch(b, mesh)
         log(f"data-parallel over {n_dev} devices (mesh axis 'data')")
     else:
+        train_step, eval_step = build_steps(cfg, model, tx)
         train_step = jax.jit(train_step)
         put = lambda b: b
     eval_step = jax.jit(eval_step)
@@ -215,16 +220,24 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     guard = PreemptionGuard.install()
     epoch = start_epoch
+    from adafocus_tpu.data.prefetch import prefetch_to_device
+
     for epoch in range(start_epoch, cfg.run.epochs):
         train_loader.set_epoch(epoch)
         meter = ProgressMeter(steps_per_epoch, prefix=f"epoch {epoch} ")
         epoch_key = jax.random.fold_in(root_key, epoch)
-        for i, raw in enumerate(train_loader):
+
+        def prep_one(raw, i, _ek=epoch_key):
+            bkey = jax.random.fold_in(_ek, i)
+            batch, _, _ = prep_train(raw, bkey)
+            return put(batch), bkey
+
+        for i, (batch, bkey) in enumerate(
+            prefetch_to_device(train_loader, prep_one)
+        ):
             if guard.should_stop:
                 break
-            bkey = jax.random.fold_in(epoch_key, i)
-            batch, _, _ = prep_train(raw, bkey)
-            state, metrics = train_step(state, put(batch), bkey)
+            state, metrics = train_step(state, batch, bkey)
             if (i + 1) % cfg.run.print_freq == 0 or i + 1 == steps_per_epoch:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 log(meter.line(i, metrics))

@@ -76,6 +76,8 @@ class GFVConfig:
     video_div: int = 1            # sth-sth: one action per division
     with_glancer: bool = True     # sth-sth: add glancer-logit consensus
     dropout: float = 0.5          # sth-sth local-head dropout
+    frame_budget: int = 0         # AdaFocus+: focuser sees only K of T
+    selector_hidden: int = 256    # AdaFocus+ frame-selector GRU width
     dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
 
     @property
@@ -134,6 +136,13 @@ class GFV(nn.Module):
         else:  # consensus: focuser features -> dropout+FC (sth-sth head)
             self.classifier = ConsensusHead(
                 num_classes=cfg.num_classes, dropout_rate=cfg.dropout,
+                dtype=cfg.dtype,
+            )
+        if cfg.frame_budget > 0:  # AdaFocus+ temporal selection head
+            from adafocus_tpu.models.gfv_plus import FrameSelector
+
+            self.selector = FrameSelector(
+                hidden_dim=cfg.selector_hidden, in_dim=cfg.glance_dim,
                 dtype=cfg.dtype,
             )
 
@@ -214,6 +223,11 @@ class GFV(nn.Module):
         ).reshape(b, d, gh, gw, (tg // d) * c)
         return self.policy_rollout(stacked, rng, mode, train)
 
+    def frame_scores(self, pooled: jax.Array) -> jax.Array:
+        """AdaFocus+ selector: pooled glance features (B, T, D) -> per-frame
+        relevance scores (B, T)."""
+        return self.selector(pooled)
+
     # ---- phase 3: focus + classify ---------------------------------------
 
     def focus(self, patches: jax.Array, train: bool = False) -> jax.Array:
@@ -250,6 +264,8 @@ class GFV(nn.Module):
         """Exercises every submodule once so ``init`` creates all params."""
         fmap, pooled = self.glance(frames_small)
         _ = self.glancer.classify(pooled.reshape(-1, pooled.shape[-1]))
+        if self.cfg.frame_budget > 0:
+            _ = self.frame_scores(pooled)
         if self.cfg.classifier == "consensus":
             # sth-sth: the policy always sees division-stacked maps
             # ((Tg/D)*C channels), a different encoder shape than actnet's

@@ -40,14 +40,16 @@ class OptimConfig:
     steps_per_epoch: int = 1000
 
 
-# component-label matrix per stage: param top-level key -> group
+# component-label matrix per stage: param top-level key -> group.
+# 'selector' is the AdaFocus+ frame-selection head (present only when
+# frame_budget > 0); unknown components default to frozen.
 _STAGE_LABELS: Dict[int, Dict[str, str]] = {
     0: {"glancer": "backbone", "focuser": "backbone", "classifier": "fc",
-        "policy": "frozen"},
+        "policy": "frozen", "selector": "fc"},
     1: {"glancer": "frozen", "focuser": "backbone", "classifier": "fc",
-        "policy": "frozen"},
+        "policy": "frozen", "selector": "fc"},
     3: {"glancer": "frozen", "focuser": "frozen", "classifier": "fc",
-        "policy": "frozen"},
+        "policy": "frozen", "selector": "fc"},
 }
 
 
@@ -93,6 +95,9 @@ def make_stage_optimizer(stage: int, cfg: OptimConfig) -> optax.GradientTransfor
     }
 
     def label_fn(params):
-        return {k: jax.tree.map(lambda _: labels[k], v) for k, v in params.items()}
+        return {
+            k: jax.tree.map(lambda _: labels.get(k, "frozen"), v)
+            for k, v in params.items()
+        }
 
     return optax.multi_transform(transforms, label_fn)
