@@ -36,9 +36,14 @@ def make_data(cfg: GFVConfig, batch: int, dtype=None):
 
 
 def _inference_fn(model: GFV):
-    fam_inference = (
-        inference_sthsth if model.cfg.classifier == "consensus" else inference
-    )
+    if model.cfg.frame_budget > 0:
+        from adafocus_tpu.models.gfv_plus import inference_plus
+
+        fam_inference = inference_plus
+    elif model.cfg.classifier == "consensus":
+        fam_inference = inference_sthsth
+    else:
+        fam_inference = inference
 
     def fn(params, batch_stats, frames_flat, frames_small, rng):
         variables = {"params": params, "batch_stats": batch_stats}

@@ -57,10 +57,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         log("WARNING: run.resume not set — evaluating a fresh init")
 
-    eval_step = jax.jit(
-        make_sthsth_eval_step(model) if cfg.run.family == "sthsth"
-        else make_eval_step(model)
-    )
+    if cfg.run.family == "sthsth":
+        eval_step = make_sthsth_eval_step(model)
+    elif cfg.model.frame_budget > 0:
+        from adafocus_tpu.train.stages_plus import make_plus_eval_step
+
+        eval_step = make_plus_eval_step(model)
+    else:
+        eval_step = make_eval_step(model)
+    eval_step = jax.jit(eval_step)
     loader = build_loader(cfg, train=False)
     prep = make_batch_prep(cfg, train=False)
     multi_label = cfg.run.dataset in ("actnet", "fcvid")

@@ -51,6 +51,17 @@ def sthsth_cfg(patch: int):
     )
 
 
+# AdaFocus+ frontier points: (patch, frame budget K of 16)
+PLUS_POINTS = ((96, 8), (128, 8), (160, 12), (192, 12))
+
+
+def plus_cfg(point):
+    import dataclasses
+
+    patch, budget = point
+    return dataclasses.replace(actnet_cfg(patch), frame_budget=budget)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=64)
@@ -71,6 +82,7 @@ def main() -> None:
     sweeps = {
         "actnet": ((96, 128, 160, 192), actnet_cfg),
         "sthsth": ((144, 160, 176), sthsth_cfg),
+        "actnet_plus": (PLUS_POINTS, plus_cfg),
     }
     inner, repeats = (3, 1) if args.quick else (10, 3)
 
@@ -81,6 +93,8 @@ def main() -> None:
             model = GFV(make_cfg(patch))
             vps = time_inference(model, batch=args.batch,
                                  inner_iters=inner, repeats=repeats)
+            if isinstance(patch, tuple):  # AdaFocus+ (patch, budget) point
+                patch = f"{patch[0]}@K{patch[1]}"
             row = {"family": family, "patch": patch,
                    "videos_per_sec": round(vps, 1),
                    "batch": args.batch,
