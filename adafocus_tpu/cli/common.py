@@ -54,6 +54,11 @@ def apply_platform(run_cfg) -> None:
         ).strip()
     if run_cfg.platform:
         jax.config.update("jax_platforms", run_cfg.platform)
+    if getattr(run_cfg, "multihost", False):
+        # multi-host slice: one process per host, auto-detected coordinator
+        # on TPU pods (replaces the reference's TCP rendezvous,
+        # main_dist.py:47-48,73-80)
+        jax.distributed.initialize()
 
 
 def set_all_seeds(seed: int) -> jax.Array:
@@ -100,10 +105,18 @@ def build_loader(cfg: ExperimentConfig, train: bool) -> VideoLoader:
         mode = "test"  # dense/twice multi-clip sampling (test-time)
     else:
         mode = "val"
+    # per-host dataset sharding on multi-host slices (the reference's
+    # DistributedSampler, main_dist.py:234): each host reads a disjoint
+    # record subset; defaults follow the JAX process topology unless the
+    # config pins them explicitly.
+    host_id = loader_cfg.host_id or jax.process_index()
+    num_hosts = (loader_cfg.num_hosts if loader_cfg.num_hosts > 1
+                 else jax.process_count())
     loader_cfg = LoaderConfig(
         **{**loader_cfg.__dict__, "mode": mode,
            "multi_label": run.dataset in ("actnet", "fcvid"),
-           "drop_last": train}
+           "drop_last": train,
+           "host_id": host_id, "num_hosts": num_hosts}
     )
     if run.synthetic_data:
         # synthetic labels must live in the model's class space

@@ -46,6 +46,7 @@ class RunConfig:
     platform: str = ""            # '' = default backend; 'cpu'/'tpu' forces
     host_devices: int = 0         # >0: virtual CPU device count (debugging)
     anytime_eval: bool = False    # report per-timestep mAP (GRU head only)
+    multihost: bool = False       # jax.distributed.initialize() (TPU pods)
 
 
 @dataclasses.dataclass(frozen=True)

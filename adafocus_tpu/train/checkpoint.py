@@ -114,10 +114,28 @@ def restore_train_state(state, tree: Dict[str, Any]):
     )
 
 
+def _merge_compatible(dst: Any, src: Any) -> Any:
+    """Copy ``src`` into ``dst`` where structures+shapes agree; recurse
+    into dicts so a component with e.g. a different-class-count head keeps
+    its fresh head while the backbone loads (the reference's strict=False
+    component loads + converted ImageNet checkpoints)."""
+    import numpy as np
+
+    if isinstance(dst, dict) and isinstance(src, dict):
+        out = dict(dst)
+        for k, v in src.items():
+            if k in out:
+                out[k] = _merge_compatible(out[k], v)
+        return out
+    if hasattr(dst, "shape") and hasattr(src, "shape"):
+        return src if np.shape(dst) == np.shape(src) else dst
+    return src
+
+
 def load_stage_components(state, tree: Dict[str, Any], stage: int):
     """Stage-aware warm start: copy only the components stage ``stage``
-    inherits from the previous stage's checkpoint; keep fresh init (and
-    fresh optimizer state) for everything else."""
+    inherits from the previous stage's checkpoint (shape-mismatched leaves
+    keep fresh init); fresh optimizer state for everything."""
     wanted = STAGE_LOADS[stage]
     params = dict(state.params)
     stats = dict(state.batch_stats or {})
@@ -125,9 +143,9 @@ def load_stage_components(state, tree: Dict[str, Any], stage: int):
     src_stats = tree.get("batch_stats", {}) or {}
     for k in wanted:
         if k in src_params:
-            params[k] = src_params[k]
+            params[k] = _merge_compatible(params.get(k, {}), src_params[k])
         if k in src_stats:
-            stats[k] = src_stats[k]
+            stats[k] = _merge_compatible(stats.get(k, {}), src_stats[k])
     return state.replace(params=params, batch_stats=stats)
 
 

@@ -178,6 +178,57 @@ def convert_mobilenet_v2(
     return params, stats
 
 
+def convert_checkpoint_cli(argv=None) -> None:
+    """CLI: convert a torch backbone checkpoint into a warm-startable
+    component checkpoint.
+
+    Usage: ``python -m adafocus_tpu.utils.torch_weights ckpt.pth out_dir
+    --arch resnet50 --component focuser``. The output directory is loadable
+    with ``run.warm_start=out_dir`` (only the converted component is
+    grafted; everything else keeps fresh init).
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=convert_checkpoint_cli.__doc__)
+    ap.add_argument("ckpt", help="torch .pth/.pth.tar state dict")
+    ap.add_argument("out_dir")
+    ap.add_argument("--arch", required=True,
+                    choices=["resnet18", "resnet34", "resnet50", "resnet101",
+                             "mobilenet_v2"])
+    ap.add_argument("--component", default=None,
+                    help="GFV component name (default: focuser for resnets, "
+                         "glancer for mobilenet)")
+    args = ap.parse_args(argv)
+
+    import torch
+
+    sd = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model_state_dict", "model"):
+        if isinstance(sd, dict) and key in sd:
+            sd = sd[key]
+    if args.arch == "mobilenet_v2":
+        params, stats = convert_mobilenet_v2(sd)
+        component = args.component or "glancer"
+    else:
+        params, stats = convert_resnet(sd, depth=int(args.arch[6:]))
+        component = args.component or "focuser"
+
+    import orbax.checkpoint as ocp
+
+    tree = {"params": {component: params}, "batch_stats": {component: stats}}
+    path = f"{args.out_dir}/checkpoint"
+    ocp.PyTreeCheckpointer().save(path, tree)
+    n = sum(x.size for x in _flat_leaves(params))
+    print(f"converted {args.arch} -> {path} (component '{component}', "
+          f"{n:,} params)")
+
+
+def _flat_leaves(tree):
+    import jax
+
+    return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
 def _compatible(dst, src) -> bool:
     """Same tree structure and leaf shapes."""
     import jax
@@ -211,3 +262,7 @@ def merge_into(params: dict, batch_stats: dict, component: str,
     p[component] = dst
     s[component] = dst_s
     return p, s
+
+
+if __name__ == "__main__":
+    convert_checkpoint_cli()
