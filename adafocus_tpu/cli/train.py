@@ -202,7 +202,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if n_dev > 1:
         mesh = make_mesh()
         train_step, eval_step = build_steps(cfg, model, tx, axis_name="data")
-        train_step = shard_train_step(train_step, mesh, donate_state=False)
+        train_step = shard_train_step(train_step, mesh)  # donates old state
         state = replicate(state, mesh)
         put = lambda b: shard_batch(b, mesh)
         log(f"data-parallel over {n_dev} devices (mesh axis 'data')")
