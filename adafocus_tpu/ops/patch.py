@@ -49,6 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DMA_PIPELINE_DEPTH = 4
+# grid bookkeeping for the scalar-prefetch kernel lives in smem (1 MB);
+# ~2048 programs overflow it, so large batches run as chained kernel calls
+_MAX_KERNEL_GRID = 1024
 
 
 def patch_offsets(actions: jax.Array, image_size: int, patch_size: int) -> jax.Array:
@@ -171,6 +174,16 @@ def extract_patches_flat(
     band = p + 8  # 8-aligned row band; y remainder in [0, 8]
     if band > h:
         raise ValueError(f"patch {p} too large for image height {h}")
+
+    if n > _MAX_KERNEL_GRID:
+        # chain kernel calls so per-program smem bookkeeping stays bounded;
+        # at most two distinct chunk shapes compile (full + remainder)
+        outs = []
+        for s in range(0, n, _MAX_KERNEL_GRID):
+            e = min(s + _MAX_KERNEL_GRID, n)
+            outs.append(extract_patches_flat(
+                flat[s:e], offsets[s:e], patch_size, channels))
+        return jnp.concatenate(outs, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -33,7 +33,7 @@ def main():
 
     baseline = 143.8  # reference GPU videos/s (BASELINE.md)
     print(json.dumps({
-        "metric": "videos/sec/chip (ActivityNet flagship, B=64, T=16, bf16)",
+        "metric": f"videos/sec/chip (ActivityNet flagship, B={batch}, T=16, bf16)",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / baseline, 3),
