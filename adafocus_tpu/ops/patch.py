@@ -102,7 +102,8 @@ def extract_patches_slice(
 # ---------------------------------------------------------------------------
 
 
-def _make_patch_kernel(h: int, p: int, c: int, band: int, n_buf: int):
+def _make_patch_kernel(h: int, p: int, c: int, band: int, n_buf: int,
+                       n_programs: int):
     def kernel(yx_ref, img_ref, out_ref, scratch, sem):
         i = pl.program_id(0)
         n = pl.num_programs(0)
@@ -117,7 +118,9 @@ def _make_patch_kernel(h: int, p: int, c: int, band: int, n_buf: int):
 
         @pl.when(i == 0)
         def _():
-            for k in range(n_buf - 1):
+            # warm-up clamped to the grid size: small grids (remainder
+            # chunks, tiny batches) must not prefetch past yx_ref
+            for k in range(min(n_buf - 1, n_programs)):
                 get_dma(k % n_buf, k).start()
 
         @pl.when(i + n_buf - 1 < n)
@@ -198,7 +201,7 @@ def extract_patches_flat(
         ],
     )
     out = pl.pallas_call(
-        _make_patch_kernel(h, p, c, band, _DMA_PIPELINE_DEPTH),
+        _make_patch_kernel(h, p, c, band, _DMA_PIPELINE_DEPTH, n),
         out_shape=jax.ShapeDtypeStruct((n, p, p * c), flat.dtype),
         grid_spec=grid_spec,
     )(offsets, flat)

@@ -63,3 +63,19 @@ def test_random_patch_actions_in_range():
     assert acts.shape == (5, 4, 2)
     a = np.asarray(acts)
     assert (a >= 0).all() and (a <= 1).all()
+
+
+def test_extract_chunked_grid_matches_slice(monkeypatch):
+    """Large batches chain kernel calls (smem cap — see _MAX_KERNEL_GRID);
+    the chunked path must be exact, including the remainder chunk."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setattr(patch_ops, "_MAX_KERNEL_GRID", 4)
+    rng = np.random.RandomState(3)
+    n = 10  # 4 + 4 + 2: two full chunks + remainder
+    imgs = jnp.asarray(rng.randn(n, 24, 24, 3).astype(np.float32))
+    offs = jnp.asarray(rng.randint(0, 17, size=(n, 2)).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        out_pl = patch_ops.extract_patches_pallas(imgs, offs, 8)
+    out_sl = patch_ops.extract_patches_slice(imgs, offs, 8)
+    np.testing.assert_array_equal(np.asarray(out_pl), np.asarray(out_sl))
