@@ -139,6 +139,14 @@ def validate(state, eval_step, loader, prep, log, multi_label: bool,
     if all_scores:
         scores = np.concatenate(all_scores)
         labels = np.concatenate(all_labels)
+        if jax.process_count() > 1:
+            # mAP needs the FULL validation set: gather the per-host shards
+            # (the reference computes it on rank 0 over everything,
+            # main_dist.py:392-397)
+            from jax.experimental import multihost_utils
+
+            scores = np.concatenate(multihost_utils.process_allgather(scores))
+            labels = np.concatenate(multihost_utils.process_allgather(labels))
         hot = multi_hot(labels, scores.shape[1]) if multi_label else \
             multi_hot(labels.reshape(len(labels), -1)[:, :1], scores.shape[1])
         out["mAP"] = mean_average_precision(scores, hot)
