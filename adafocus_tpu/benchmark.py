@@ -11,7 +11,6 @@ XLA cannot hoist the body) and completion is forced by fetching a scalar.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import os
 import random
-import sys
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

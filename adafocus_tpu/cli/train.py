@@ -18,8 +18,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-import sys
-import time
 from typing import Optional, Sequence
 
 import jax
@@ -42,7 +40,7 @@ from adafocus_tpu.ops.metrics import (
 )
 from adafocus_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_train_step
 from adafocus_tpu.train import checkpoint as ckpt
-from adafocus_tpu.train.optim import OptimConfig, make_stage_optimizer
+from adafocus_tpu.train.optim import make_stage_optimizer
 from adafocus_tpu.train.stages import (
     create_train_state,
     make_eval_step,

@@ -18,11 +18,9 @@ from __future__ import annotations
 
 import concurrent.futures
 import dataclasses
-import io
 import os
 import queue
-import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence
 
 import numpy as np
 

@@ -25,7 +25,7 @@ because XLA wants static shapes and the MXU wants one dense batch:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the implicit .eval()-mode freezing games the reference plays
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

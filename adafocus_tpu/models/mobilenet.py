@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from adafocus_tpu.models.layers import ConvBNAct, global_avg_pool, make_divisible

@@ -24,7 +24,7 @@ generate the same uniform sqrt(K) x sqrt(K) lattice for any square K.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Two counters:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 

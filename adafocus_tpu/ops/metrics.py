@@ -8,7 +8,7 @@ full validation set, as the reference does (actnet/main_dist.py:392-397).
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ so the freeze matrix is data, not mutable module state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -24,9 +24,7 @@ mode (the reference achieves this implicitly with .eval(), gfv_net.py:64-82).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

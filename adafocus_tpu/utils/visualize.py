@@ -9,7 +9,7 @@ PIL-based, host-side; intended for qualitative policy debugging.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
