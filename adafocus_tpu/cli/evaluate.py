@@ -29,6 +29,41 @@ from adafocus_tpu.train.stages import create_train_state, make_eval_step
 from adafocus_tpu.train.stages_sthsth import make_sthsth_eval_step
 
 
+def visualize_policy_patches(model, state, loader, prep, cfg, path, rng):
+    """Render where the greedy policy looks on the first eval batch
+    (reference sthsth/ops/utils.py:12-110 visualize/save_images)."""
+    import numpy as np
+
+    from adafocus_tpu.models.gfv import GFV, glance_policy_actions
+    from adafocus_tpu.models.gfv_sthsth import (
+        actions_per_frame,
+        glance_division_rollout,
+    )
+    from adafocus_tpu.ops.patch import patch_offsets
+    from adafocus_tpu.utils.visualize import save_patch_grid
+
+    raw = next(iter(loader))
+    batch, _, _ = prep(raw, rng)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mc = cfg.model
+    if cfg.run.family == "sthsth":
+        _, _, roll = glance_division_rollout(
+            model, variables, batch["frames_small"], rng, mode="greedy")
+        actions = actions_per_frame(
+            roll["actions"], batch["frames_flat"].shape[1])
+    else:
+        _, _, roll = glance_policy_actions(
+            model, variables, batch["frames_small"], rng, mode="greedy")
+        actions = roll["actions"]
+    n = min(cfg.run.visualize_patches, actions.shape[0])
+    offs = np.asarray(patch_offsets(actions[:n], mc.image_size, mc.patch_size))
+    flat = np.asarray(batch["frames_flat"][:n], np.float32)
+    t = flat.shape[1]
+    frames = flat[..., : mc.image_size * 3].reshape(
+        n, t, flat.shape[2], mc.image_size, 3)
+    save_patch_grid(path, frames, offs, mc.patch_size)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None)
@@ -69,6 +104,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     loader = build_loader(cfg, train=False)
     prep = make_batch_prep(cfg, train=False)
     multi_label = cfg.run.dataset in ("actnet", "fcvid")
+    if cfg.run.visualize_patches > 0:
+        path = os.path.join(cfg.run.ckpt_dir, "patches.png")
+        visualize_policy_patches(
+            model, state, loader, prep, cfg, path, root_key)
+        log(f"policy patch grid saved to {path}")
     results = validate(state, eval_step, loader, prep, log, multi_label,
                        jax.random.fold_in(root_key, 0x7FFFFFFF),
                        anytime=cfg.run.anytime_eval)

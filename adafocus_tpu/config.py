@@ -47,6 +47,7 @@ class RunConfig:
     host_devices: int = 0         # >0: virtual CPU device count (debugging)
     anytime_eval: bool = False    # report per-timestep mAP (GRU head only)
     multihost: bool = False       # jax.distributed.initialize() (TPU pods)
+    visualize_patches: int = 0    # >0: save a patch grid of N videos at eval
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,6 +77,25 @@ class FrameFolderSource:
     def _frame_path(self, record: VideoRecord, index: int) -> str:
         return os.path.join(self.root, record.path, self.image_tmpl.format(index))
 
+    def load_frames(
+        self, record: VideoRecord, indices, canvas: int
+    ) -> np.ndarray:
+        """Decode several frames in one native batch call (the C++ worker
+        pool decodes them concurrently); falls back to per-frame loading.
+        Failed frames fall back to frame 1 (reference dataset.py:82-87)."""
+        if self._native is not None:
+            paths = [self._frame_path(record, int(i)) for i in indices]
+            frames, status = self._native.decode_batch(paths, canvas)
+            if frames is not None:
+                if status.any():
+                    fallback = self.load_frame(record, 1, canvas)
+                    for i in np.nonzero(status)[0]:
+                        frames[i] = fallback
+                return frames
+        return np.stack(
+            [self.load_frame(record, int(i), canvas) for i in indices]
+        )
+
     def load_frame(self, record: VideoRecord, index: int, canvas: int) -> np.ndarray:
         """Decode frame ``index`` (1-based) to (canvas, canvas, 3) uint8:
         resize short side to ``canvas`` then center-crop square (the host
@@ -186,6 +205,8 @@ class VideoLoader:
             idx_f = None
 
         def frames_for(indices):
+            if hasattr(self.source, "load_frames"):
+                return self.source.load_frames(record, indices, cfg.canvas_size)
             return np.stack([
                 self.source.load_frame(record, int(i), cfg.canvas_size)
                 for i in indices

@@ -100,3 +100,24 @@ def test_frame_folder_source_native(tmp_path):
     # missing index falls back to frame 1
     fb = src.load_frame(rec, 7, canvas=32)
     assert abs(int(fb.mean()) - 60) < 4
+
+
+def test_frame_folder_source_batch_load(tmp_path):
+    from PIL import Image
+
+    from adafocus_tpu.data.pipeline import FrameFolderSource
+    from adafocus_tpu.data.records import VideoRecord
+
+    d = tmp_path / "vidb"
+    d.mkdir()
+    for i in (1, 2, 3):
+        Image.fromarray(
+            np.full((40, 60, 3), i * 40, np.uint8)
+        ).save(d / f"image_{i:06d}.jpg")
+    src = FrameFolderSource(str(tmp_path))
+    rec = VideoRecord("vidb", 3, (0, -1, -1))
+    frames = src.load_frames(rec, [1, 3, 9], canvas=32)  # 9 = missing
+    assert frames.shape == (3, 32, 32, 3)
+    assert abs(int(frames[0].mean()) - 40) < 4
+    assert abs(int(frames[1].mean()) - 120) < 4
+    assert abs(int(frames[2].mean()) - 40) < 4  # fell back to frame 1
