@@ -97,7 +97,8 @@ def make_tx(cfg: ExperimentConfig, steps_per_epoch: int):
     label_stage = stage
     if cfg.run.family == "sthsth" and stage == 3:
         label_stage = 1
-    return make_stage_optimizer(label_stage, optim)
+    return make_stage_optimizer(label_stage, optim,
+                                partial_bn=cfg.model.partial_bn)
 
 
 def validate(state, eval_step, loader, prep, log, multi_label: bool,

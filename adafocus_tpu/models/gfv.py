@@ -78,6 +78,7 @@ class GFVConfig:
     dropout: float = 0.5          # sth-sth local-head dropout
     frame_budget: int = 0         # AdaFocus+: focuser sees only K of T
     selector_hidden: int = 256    # AdaFocus+ frame-selector GRU width
+    partial_bn: bool = False      # TSM partial-BN freezing on the focuser
     dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
 
     @property
@@ -114,6 +115,7 @@ class GFV(nn.Module):
             num_classes=cfg.num_classes,
             dtype=cfg.dtype,
             n_frames=cfg.t_focuser if cfg.tsm else 0,
+            partial_bn=cfg.partial_bn,
         )
         self.policy = ActorCritic(
             action_dim=cfg.action_dim,

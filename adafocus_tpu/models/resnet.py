@@ -75,6 +75,12 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
+    """``partial_bn``: TSM-style partial-BN freezing for finetuning — only
+    the stem's BatchNorm collects batch statistics in training; every
+    block BN runs on its running stats (reference sthsth/models/tsn.py
+    train()/partialBN, :146-162, made an explicit flag instead of a
+    .eval() side effect)."""
+
     block_cls: type = Bottleneck
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     num_classes: int = 1000
@@ -82,6 +88,7 @@ class ResNet(nn.Module):
     axis_name: Optional[str] = None
     n_frames: int = 0
     shift_div: int = 8
+    partial_bn: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -120,8 +127,9 @@ class ResNet(nn.Module):
     def backbone(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = self.stem(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        block_train = train and not self.partial_bn
         for block in self.blocks:
-            x = block(x, train)
+            x = block(x, block_train)
         return x
 
     def features(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, jax.Array]:

@@ -86,7 +86,27 @@ def _sgd(base_lr: float, cfg: OptimConfig) -> optax.GradientTransformation:
     )
 
 
-def make_stage_optimizer(stage: int, cfg: OptimConfig) -> optax.GradientTransformation:
+def _label_partial_bn(tree, base: str, in_stem: bool = False):
+    """Label every non-stem BatchNorm's scale/bias 'frozen' (TSM partialBN:
+    reference sthsth/models/tsn.py:146-162 freezes BN affine params beyond
+    the first BN via requires_grad=False)."""
+    if not isinstance(tree, dict):
+        return base
+    out = {}
+    for k, v in tree.items():
+        if k == "bn" and not in_stem:
+            out[k] = jax.tree.map(lambda _: "frozen", v)
+        else:
+            out[k] = _label_partial_bn(v, base, in_stem or k == "stem")
+    return out
+
+
+def make_stage_optimizer(
+    stage: int, cfg: OptimConfig, partial_bn: bool = False
+) -> optax.GradientTransformation:
+    """``partial_bn`` applies TSM partial-BN freezing to the focuser's
+    trainable stages (statistics freezing is the model-side
+    ``ResNet.partial_bn`` flag; this handles the affine params)."""
     labels = stage_trainable(stage)
     transforms = {
         "backbone": _sgd(cfg.backbone_lr, cfg),
@@ -95,9 +115,13 @@ def make_stage_optimizer(stage: int, cfg: OptimConfig) -> optax.GradientTransfor
     }
 
     def label_fn(params):
-        return {
-            k: jax.tree.map(lambda _: labels.get(k, "frozen"), v)
-            for k, v in params.items()
-        }
+        out = {}
+        for k, v in params.items():
+            base = labels.get(k, "frozen")
+            if partial_bn and k == "focuser" and base != "frozen":
+                out[k] = _label_partial_bn(v, base)
+            else:
+                out[k] = jax.tree.map(lambda _: base, v)
+        return out
 
     return optax.multi_transform(transforms, label_fn)

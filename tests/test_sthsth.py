@@ -184,3 +184,37 @@ def test_without_glancer():
     total = inference_sthsth(model, variables, batch["frames_flat"],
                              batch["frames_small"], jax.random.key(1))
     assert total.shape == (2, 5)
+
+
+def test_partial_bn_freezes_block_bn_affines():
+    """TSM partialBN: stem BN trains, every block BN (stats AND affine
+    params) stays frozen (reference tsn.py:146-162)."""
+    cfg = tiny_cfg(partial_bn=True)
+    model = GFV(cfg)
+    tx = make_stage_optimizer(1, OptimConfig(epochs=1, steps_per_epoch=2),
+                              partial_bn=True)
+    state = create_train_state(model, jax.random.key(0), tx=tx)
+    from adafocus_tpu.train.stages_sthsth import make_sthsth_train_step
+
+    step = jax.jit(make_sthsth_train_step(model, 1, tx))
+    batch = make_batch(cfg)
+    new_state, _ = step(state, batch, jax.random.key(1))
+
+    foc0, foc1 = state.params["focuser"], new_state.params["focuser"]
+    stem_delta = float(jnp.abs(
+        foc1["stem"]["bn"]["scale"] - foc0["stem"]["bn"]["scale"]).max())
+    assert stem_delta > 0  # stem BN trains
+    block = next(k for k in foc0 if k.startswith("layer"))
+    inner = next(ck for ck in foc0[block] if "bn" in foc0[block][ck])
+    blk_delta = float(jnp.abs(
+        foc1[block][inner]["bn"]["scale"] - foc0[block][inner]["bn"]["scale"]
+    ).max())
+    assert blk_delta == 0  # block BN affine frozen
+    conv_delta = float(jnp.abs(
+        foc1[block][inner]["conv"]["kernel"] - foc0[block][inner]["conv"]["kernel"]
+    ).max())
+    assert conv_delta > 0  # convs still train
+    # statistics frozen too: block bn stats unchanged
+    s0 = state.batch_stats["focuser"][block][inner]["bn"]["mean"]
+    s1 = new_state.batch_stats["focuser"][block][inner]["bn"]["mean"]
+    assert float(jnp.abs(jnp.asarray(s1) - jnp.asarray(s0)).max()) == 0
