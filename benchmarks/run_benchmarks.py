@@ -111,7 +111,11 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row), flush=True)
 
-    out = os.path.join(os.path.dirname(__file__), "results.json")
+    # quick mode (fewer iters, no flops) must not clobber full-sweep numbers
+    out = os.path.join(
+        os.path.dirname(__file__),
+        "results_quick.json" if args.quick else "results.json",
+    )
     merged = {}
     if os.path.exists(out):  # family-at-a-time runs accumulate
         with open(out) as f:
