@@ -54,10 +54,19 @@ def apply_platform(run_cfg) -> None:
     if run_cfg.platform:
         jax.config.update("jax_platforms", run_cfg.platform)
     if getattr(run_cfg, "multihost", False):
-        # multi-host slice: one process per host, auto-detected coordinator
-        # on TPU pods (replaces the reference's TCP rendezvous,
-        # main_dist.py:47-48,73-80)
-        jax.distributed.initialize()
+        # multi-host slice: one process per host (replaces the reference's
+        # TCP rendezvous, main_dist.py:47-48,73-80). Coordinator is
+        # auto-detected on TPU pods/SLURM; run.coordinator='host:port' (+
+        # num_processes/process_id) gives the explicit rendezvous for
+        # CPU/GPU clusters — exercised by tests/test_multihost.py.
+        if getattr(run_cfg, "coordinator", ""):
+            jax.distributed.initialize(
+                coordinator_address=run_cfg.coordinator,
+                num_processes=run_cfg.num_processes,
+                process_id=run_cfg.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
 
 def set_all_seeds(seed: int) -> jax.Array:

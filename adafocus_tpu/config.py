@@ -47,6 +47,10 @@ class RunConfig:
     host_devices: int = 0         # >0: virtual CPU device count (debugging)
     anytime_eval: bool = False    # report per-timestep mAP (GRU head only)
     multihost: bool = False       # jax.distributed.initialize() (TPU pods)
+    coordinator: str = ""         # 'host:port' explicit rendezvous; '' =
+                                  # autodetect (TPU pod metadata / SLURM)
+    num_processes: int = 0        # with coordinator: total process count
+    process_id: int = -1          # with coordinator: this process's rank
     visualize_patches: int = 0    # >0: save a patch grid of N videos at eval
 
 

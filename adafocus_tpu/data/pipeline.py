@@ -38,6 +38,11 @@ class LoaderConfig:
     dense_sample: bool = False
     twice_sample: bool = False
     num_workers: int = 8
+    decode_procs: int = 0           # >0: decode in worker PROCESSES (the
+                                    # reference's DataLoader workers,
+                                    # main_dist.py:194-239) — for multi-core
+                                    # hosts where one interpreter's Python-
+                                    # side work caps the thread pool
     prefetch: int = 2
     seed: int = 1007
     host_id: int = 0                # this host's index in the slice
@@ -62,12 +67,18 @@ class FrameFolderSource:
                  use_native: bool = True):
         self.root = root
         self.image_tmpl = image_tmpl
-        if use_native:
-            from adafocus_tpu.data import native
+        self.use_native = use_native
 
-            self._native = native if native.available() else None
-        else:
-            self._native = None
+    @property
+    def _native(self):
+        # resolved lazily (and per process) so the source stays picklable
+        # for the decode_procs worker pool; native.available() caches the
+        # loaded library module-globally.
+        if not self.use_native:
+            return None
+        from adafocus_tpu.data import native
+
+        return native if native.available() else None
 
     def exists(self, record: VideoRecord) -> bool:
         return os.path.exists(
@@ -162,6 +173,27 @@ class VideoLoader:
         self.source = source
         self.records = list(records)[cfg.host_id :: cfg.num_hosts]
         self._epoch = 0
+        self._proc_pool = None
+
+    def _decode_pool(self):
+        """Lazy, epoch-persistent process pool (decode_procs > 0). Workers
+        hold a replica of (records, source, cfg) via the initializer, so
+        per-task pickles are just (index, seed)."""
+        if self._proc_pool is None:
+            import multiprocessing as mp
+
+            self._proc_pool = concurrent.futures.ProcessPoolExecutor(
+                self.cfg.decode_procs,
+                mp_context=mp.get_context("forkserver"),
+                initializer=_decode_worker_init,
+                initargs=(self.records, self.source, self.cfg),
+            )
+        return self._proc_pool
+
+    def close(self) -> None:
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown()
+            self._proc_pool = None
 
     def __len__(self) -> int:
         n = len(self.records) // self.cfg.batch_size
@@ -224,7 +256,7 @@ class VideoLoader:
 
     # -- epoch iteration ----------------------------------------------------
 
-    def _batch_order(self) -> List[List[VideoRecord]]:
+    def _batch_order(self) -> List[List[int]]:
         cfg = self.cfg
         order = np.arange(len(self.records))
         if cfg.mode == "train":
@@ -234,18 +266,25 @@ class VideoLoader:
             chunk = order[i : i + cfg.batch_size]
             if len(chunk) < cfg.batch_size and cfg.drop_last:
                 break
-            batches.append([self.records[j] for j in chunk])
+            batches.append([int(j) for j in chunk])
         return batches
 
     def __iter__(self) -> Iterator[dict]:
         cfg = self.cfg
         batches = self._batch_order()
         base_seed = hash((cfg.seed, self._epoch, cfg.host_id)) & 0x7FFFFFFF
+        use_procs = cfg.decode_procs > 0
+        if use_procs:
+            pool = self._decode_pool()
 
-        def make_batch(bi: int, batch_records, pool):
+        def make_batch(bi: int, batch_indices, pool):
             futs = [
-                pool.submit(self._load_video, r, base_seed + bi * cfg.batch_size + k)
-                for k, r in enumerate(batch_records)
+                pool.submit(_decode_worker_load, j,
+                            base_seed + bi * cfg.batch_size + k)
+                if use_procs else
+                pool.submit(self._load_video, self.records[j],
+                            base_seed + bi * cfg.batch_size + k)
+                for k, j in enumerate(batch_indices)
             ]
             videos = [f.result() for f in futs]
             out = {
@@ -253,9 +292,11 @@ class VideoLoader:
             }
             return out
 
-        with concurrent.futures.ThreadPoolExecutor(cfg.num_workers) as pool, \
+        with concurrent.futures.ThreadPoolExecutor(cfg.num_workers) as tpool, \
                 concurrent.futures.ThreadPoolExecutor(
                     max(cfg.prefetch, 1)) as drivers:
+            if not use_procs:
+                pool = tpool
             pending: "queue.Queue" = queue.Queue()
             it = iter(enumerate(batches))
 
@@ -274,3 +315,19 @@ class VideoLoader:
                 fut = pending.get()
                 yield fut.result()
                 submit_next()
+
+
+# -- decode_procs worker-process state (one replica per worker) --------------
+
+_WORKER_LOADER: "VideoLoader" = None
+
+
+def _decode_worker_init(records, source, cfg: LoaderConfig) -> None:
+    global _WORKER_LOADER
+    # records arrive pre-sharded; neutralize host slicing in the replica
+    cfg = dataclasses.replace(cfg, host_id=0, num_hosts=1, decode_procs=0)
+    _WORKER_LOADER = VideoLoader(records, source, cfg)
+
+
+def _decode_worker_load(index: int, seed: int):
+    return _WORKER_LOADER._load_video(_WORKER_LOADER.records[index], seed)

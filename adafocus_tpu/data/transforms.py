@@ -151,4 +151,6 @@ def glance_downsample(frames: jax.Array, glance_size: int) -> jax.Array:
     """(..., S, S, C) -> (..., g, g, C) bilinear, the on-device analog of
     the reference's F.interpolate glancer input (main_dist.py:469)."""
     shape = frames.shape[:-3] + (glance_size, glance_size, frames.shape[-1])
+    if shape == frames.shape:  # glance at full resolution (the reference's
+        return frames          # published glance_size=224 operating point)
     return jax.image.resize(frames, shape, method="linear")

@@ -49,6 +49,25 @@ class RecurrentClassifier(nn.Module):
         hidden = self.gru(hidden, feature)
         return hidden, self.fc(hidden)
 
+    def lookahead(self, hidden: jax.Array, feature: jax.Array) -> jax.Array:
+        """One GRU step from a given hidden WITHOUT carrying the result —
+        the reference's test_single_forward, which reads the stored ``hx``
+        but never writes it back (actnet/models/gfv_net.py:449-457); used
+        for the stage-2 random-patch reward baseline. (N, H), (N, D) ->
+        (N, classes)."""
+        return self.fc(self.gru(hidden, feature))
+
+    def forward_with_hiddens(
+        self, features: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Sequence forward that also returns the per-step GRU hiddens:
+        (B, T, D) -> (logits (B, T, classes), hiddens (B, T, H)). Requires
+        ``in_dim`` (the composed models always set it)."""
+        b = features.shape[0]
+        xs = jnp.swapaxes(features, 0, 1)
+        _, hs = self.gru.scan_time(self.initial_hidden(b), xs)
+        return jnp.swapaxes(self.fc(hs), 0, 1), jnp.swapaxes(hs, 0, 1)
+
     def __call__(self, features: jax.Array) -> jax.Array:
         """features (B, T, D) -> per-step logits (B, T, classes)."""
         b = features.shape[0]

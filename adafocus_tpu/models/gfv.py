@@ -62,7 +62,9 @@ class GFVConfig:
     num_frames: int = 16          # T (glancer frames; actnet uses one rate)
     num_frames_focuser: int = 0   # sth-sth dual-rate; 0 = same as num_frames
     image_size: int = 224
-    glance_size: int = 96
+    glance_size: int = 224  # reference recipes glance at full 224^2
+                            # (actnet/conf/default.yaml:46, sthsth
+                            # train_stage*.sh); 96 is a cheaper non-default
     patch_size: int = 96
     action_dim: int = 49
     hidden_dim: int = 1024        # classifier GRU hidden
@@ -259,6 +261,16 @@ class GFV(nn.Module):
         """Single MDP step of the GRU head (reference single_forward,
         actnet/models/gfv_net.py:437-446)."""
         return self.classifier.step(hidden, feature)
+
+    def classify_seq_with_hiddens(self, fused: jax.Array):
+        """(B, T, D) -> (per-step logits, per-step GRU hiddens)."""
+        return self.classifier.forward_with_hiddens(fused)
+
+    def classifier_lookahead(self, hidden: jax.Array, feature: jax.Array):
+        """One-step lookahead from a policy-trajectory hidden (reference
+        test_single_forward, gfv_net.py:449-457): logits of GRU(h, feat)
+        without advancing h."""
+        return self.classifier.lookahead(hidden, feature)
 
     # ---- init path --------------------------------------------------------
 

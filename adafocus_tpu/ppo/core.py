@@ -108,11 +108,18 @@ def compute_rewards(
     raise ValueError(f"unknown reward mode {mode}")
 
 
-def discounted_returns(rewards_tb: jax.Array, gamma: float) -> jax.Array:
+def discounted_returns(
+    rewards_tb: jax.Array, gamma: float, axis_name: Optional[str] = None
+) -> jax.Array:
     """No-bootstrap discounted returns over the episode, normalized over the
     flattened (T*B) values (reference ppo.py:149-157).
 
     rewards_tb: (T, B) time-major rewards.
+
+    Under data parallelism pass ``axis_name``: the mean/std moments are then
+    pmean'd so every replica normalizes over the GLOBAL batch — the update is
+    invariant to device count, exactly matching the reference's full-batch
+    normalization (its stage 2 is single-GPU so its batch is never sharded).
     """
 
     def body(carry, r):
@@ -122,7 +129,13 @@ def discounted_returns(rewards_tb: jax.Array, gamma: float) -> jax.Array:
     _, returns = jax.lax.scan(body, jnp.zeros_like(rewards_tb[0]), rewards_tb,
                               reverse=True)
     mean = returns.mean()
-    std = returns.std()
+    if axis_name is not None:
+        # equal shard sizes -> pmean of per-shard moments is exact
+        mean = jax.lax.pmean(mean, axis_name)
+        std = jnp.sqrt(jax.lax.pmean(jnp.mean((returns - mean) ** 2),
+                                     axis_name))
+    else:
+        std = returns.std()
     return (returns - mean) / (std + 1e-5)
 
 

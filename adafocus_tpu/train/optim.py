@@ -38,6 +38,7 @@ class OptimConfig:
     lr_steps: tuple = (30, 60)  # epoch milestones for 'step'
     epochs: int = 50
     steps_per_epoch: int = 1000
+    tsn_policies: bool = False  # per-param-type focuser LR groups (TSM)
 
 
 # component-label matrix per stage: param top-level key -> group.
@@ -101,27 +102,82 @@ def _label_partial_bn(tree, base: str, in_stem: bool = False):
     return out
 
 
+# TSN per-param-type groups (reference sthsth/models/tsn.py:197-213), as
+# (lr_mult_rgb, lr_mult_flow, decay_mult) over backbone_lr / weight_decay.
+# Every sth-sth stage builds its focuser optimizer from get_optim_policies
+# (e.g. stage1.py:192-196); modality here is always RGB (Flow multipliers
+# kept as data for completeness).
+_TSN_GROUPS = {
+    "first_conv_weight": (1.0, 5.0, 1.0),
+    "first_conv_bias": (2.0, 10.0, 0.0),
+    "normal_weight": (1.0, 1.0, 1.0),
+    "normal_bias": (2.0, 2.0, 0.0),
+    "bn": (1.0, 1.0, 0.0),
+}
+
+
+def tsn_param_labels(tree, partial_bn: bool = False):
+    """Reference ``get_optim_policies`` (sthsth/models/tsn.py:167-213) as a
+    label tree over a flax (TSM-)ResNet: the stem conv is the 'first conv';
+    BN affine params form their own no-decay group; biases get the 2x-lr
+    no-decay group. With ``partial_bn`` every non-stem BN is excluded from
+    the bn group (requires_grad=False in the reference's train(),
+    tsn.py:146-162) -> 'frozen'. The focuser's vestigial fc head (the
+    reference strips it via children()[:-1], stage1.py:144) labels as a
+    normal weight/bias."""
+
+    def walk(sub, key, in_stem, in_bn):
+        in_stem = in_stem or key == "stem"
+        in_bn = in_bn or key == "bn"
+        if isinstance(sub, dict):
+            return {k: walk(v, k, in_stem, in_bn) for k, v in sub.items()}
+        if in_bn:
+            if partial_bn and not in_stem:
+                return "frozen"
+            return "tsn_bn"
+        if key == "kernel":
+            return "tsn_first_conv_weight" if in_stem else "tsn_normal_weight"
+        return "tsn_first_conv_bias" if in_stem else "tsn_normal_bias"
+
+    return {k: walk(v, k, False, False) for k, v in tree.items()}
+
+
 def make_stage_optimizer(
-    stage: int, cfg: OptimConfig, partial_bn: bool = False
+    stage: int, cfg: OptimConfig, partial_bn: bool = False,
+    flow: bool = False,
 ) -> optax.GradientTransformation:
     """``partial_bn`` applies TSM partial-BN freezing to the focuser's
     trainable stages (statistics freezing is the model-side
-    ``ResNet.partial_bn`` flag; this handles the affine params)."""
+    ``ResNet.partial_bn`` flag; this handles the affine params).
+    ``cfg.tsn_policies`` switches the focuser from the flat backbone group
+    to the reference's per-param-type LR/decay groups (tsn.py:167-213)."""
     labels = stage_trainable(stage)
     transforms = {
         "backbone": _sgd(cfg.backbone_lr, cfg),
         "fc": _sgd(cfg.fc_lr, cfg),
         "frozen": optax.set_to_zero(),
     }
+    if cfg.tsn_policies:
+        for name, (mult_rgb, mult_flow, decay_mult) in _TSN_GROUPS.items():
+            lr_mult = mult_flow if flow else mult_rgb
+            transforms["tsn_" + name] = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay * decay_mult),
+                optax.sgd(lr_schedule(cfg.backbone_lr * lr_mult, cfg),
+                          momentum=cfg.momentum),
+            )
 
     def label_fn(params):
         out = {}
         for k, v in params.items():
             base = labels.get(k, "frozen")
-            if partial_bn and k == "focuser" and base != "frozen":
-                out[k] = _label_partial_bn(v, base)
-            else:
-                out[k] = jax.tree.map(lambda _: base, v)
+            if k == "focuser" and base != "frozen":
+                if cfg.tsn_policies:
+                    out[k] = tsn_param_labels(v, partial_bn=partial_bn)
+                    continue
+                if partial_bn:
+                    out[k] = _label_partial_bn(v, base)
+                    continue
+            out[k] = jax.tree.map(lambda _: base, v)
         return out
 
     return optax.multi_transform(transforms, label_fn)

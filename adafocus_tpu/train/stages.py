@@ -213,16 +213,13 @@ def make_stage_train_step(
     return step
 
 
-def _classifier_confidence(model, variables, pooled, local, labels):
-    """Per-step softmax confidence of the target class from the GRU head
+def _target_confidence(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """(B, T, C) logits -> (B, T) softmax probability of the target class
     (reward signal, reference main_dist.py:505-515)."""
-    fused = jnp.concatenate([pooled, local], axis=-1).astype(model.cfg.dtype)
-    logits = model.apply(variables, fused, method=GFV.classify_seq)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    conf = jnp.take_along_axis(
+    return jnp.take_along_axis(
         probs, labels[:, None, None].astype(jnp.int32), axis=-1
     )[..., 0]
-    return conf, logits  # (B, T), (B, T, C)
 
 
 def make_stage2_step(
@@ -261,12 +258,20 @@ def make_stage2_step(
         )
         local = model.apply(variables, patches, False, method=GFV.focus)
         local = local.reshape(b, t, -1)
-        conf, _ = _classifier_confidence(
-            model, variables, pooled, local, batch["labels"]
+        fused = jnp.concatenate([pooled, local], axis=-1).astype(cfg.dtype)
+        logits, hiddens = model.apply(
+            variables, fused, method=GFV.classify_seq_with_hiddens
         )
+        conf = _target_confidence(logits, batch["labels"])
 
         baseline = None
         if ppo_cfg.reward_mode == "random":
+            # faithful reference baseline (gfv_net.py:174-206 + :449-457):
+            # baseline_t is a ONE-STEP lookahead from the POLICY trajectory's
+            # GRU hidden h_{t-1} with random-patch features — not a separate
+            # all-random trajectory. Batched: the policy GRU scan above
+            # already produced every h_{t-1}; one vectorized cell step over
+            # (B*T) covers all lookaheads at once.
             base_actions = random_patch_actions(base_key, (b, t))
             base_patches = extract_for_frames(
                 batch["frames_flat"], base_actions, cfg.image_size,
@@ -275,12 +280,23 @@ def make_stage2_step(
             base_local = model.apply(
                 variables, base_patches, False, method=GFV.focus
             ).reshape(b, t, -1)
-            baseline, _ = _classifier_confidence(
-                model, variables, pooled, base_local, batch["labels"]
+            fused_rand = jnp.concatenate(
+                [pooled, base_local], axis=-1
+            ).astype(cfg.dtype)
+            h_prefix = jnp.concatenate(
+                [jnp.zeros_like(hiddens[:, :1]), hiddens[:, :-1]], axis=1
             )
+            base_logits = model.apply(
+                variables,
+                h_prefix.reshape(b * t, -1),
+                fused_rand.reshape(b * t, -1),
+                method=GFV.classifier_lookahead,
+            ).reshape(b, t, -1)
+            baseline = _target_confidence(base_logits, batch["labels"])
 
         rewards = compute_rewards(conf, baseline, ppo_cfg.reward_mode)  # (B, T)
-        returns = discounted_returns(jnp.swapaxes(rewards, 0, 1), ppo_cfg.gamma)
+        returns = discounted_returns(jnp.swapaxes(rewards, 0, 1),
+                                     ppo_cfg.gamma, axis_name=axis_name)
 
         memory = {
             "fmaps": fmaps_tb,

@@ -197,7 +197,8 @@ def make_sthsth_stage2_step(
             cfg.with_glancer,
         )
         rewards = conf - base_conf                       # (B, D)
-        returns = discounted_returns(jnp.swapaxes(rewards, 0, 1), ppo_cfg.gamma)
+        returns = discounted_returns(jnp.swapaxes(rewards, 0, 1),
+                                     ppo_cfg.gamma, axis_name=axis_name)
 
         memory = {
             "fmaps": fmaps_tb,

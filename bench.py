@@ -3,10 +3,11 @@
 Prints ONE JSON line. vs_baseline compares against the reference's best
 published GPU throughput, 143.8 videos/s (AdaFocus-TSM 144^2, batch 64, RTX
 2080Ti — BASELINE.md); our flagship here is the ActivityNet configuration
-(16 frames, 96^2 glance + 96^2 patches, MobileNetV2+ResNet-50+GRU, bf16),
-whose per-video FLOPs (~17 GF) are below the reference throughput config
-(~23.5 GF). The full BASELINE-format sweep (both families, every patch
-size, analytic GFLOPs/video) lives in benchmarks/run_benchmarks.py.
+at the reference's published operating point (16 frames, 224^2 glance +
+96^2 patches, MobileNetV2+ResNet-50+GRU, bf16, ~17 GF/video like the
+reference's actnet-96 row). The full BASELINE-format sweep (both families,
+every patch size, analytic GFLOPs/video) lives in
+benchmarks/run_benchmarks.py.
 
 See adafocus_tpu/benchmark.py for the timing methodology (in-dispatch
 fori_loop with a loop-carried dependency; scalar fetch forces completion).

@@ -20,15 +20,19 @@ import jax
 import jax.numpy as jnp
 
 
-# reference numbers to compare against (BASELINE.md)
+# reference numbers to compare against (BASELINE.md); latency_s is the
+# reference's bs=1 CPU latency row (figure/sthsth.png, Intel i7-10870H)
 REFERENCE = {
     ("actnet", 96): {"gflops": 17.0},
     ("actnet", 128): {"gflops": 27.0},
     ("actnet", 160): {"gflops": 38.0},
     ("actnet", 192): {"gflops": 53.0},
-    ("sthsth", 144): {"gflops": 23.5, "videos_per_sec": 143.8},
-    ("sthsth", 160): {"gflops": 27.5, "videos_per_sec": 122.1},
-    ("sthsth", 176): {"gflops": 33.7, "videos_per_sec": 104.2},
+    ("sthsth", 144): {"gflops": 23.5, "videos_per_sec": 143.8,
+                      "latency_s": 0.32},
+    ("sthsth", 160): {"gflops": 27.5, "videos_per_sec": 122.1,
+                      "latency_s": 0.36},
+    ("sthsth", 176): {"gflops": 33.7, "videos_per_sec": 104.2,
+                      "latency_s": 0.42},
 }
 
 
@@ -36,7 +40,7 @@ def actnet_cfg(patch: int):
     from adafocus_tpu.models.gfv import GFVConfig
 
     return GFVConfig(
-        num_classes=200, num_frames=16, image_size=224, glance_size=96,
+        num_classes=200, num_frames=16, image_size=224, glance_size=224,
         patch_size=patch, action_dim=49, dtype=jnp.bfloat16,
     )
 
@@ -46,7 +50,7 @@ def sthsth_cfg(patch: int):
 
     return GFVConfig(
         num_classes=174, num_frames=8, num_frames_focuser=12, image_size=224,
-        glance_size=96, patch_size=patch, action_dim=49,
+        glance_size=224, patch_size=patch, action_dim=49,
         classifier="consensus", tsm=True, video_div=1, dtype=jnp.bfloat16,
     )
 
@@ -93,10 +97,16 @@ def main() -> None:
             model = GFV(make_cfg(patch))
             vps = time_inference(model, batch=args.batch,
                                  inner_iters=inner, repeats=repeats)
+            # bs=1 latency (the reference's CPU-latency row): one video per
+            # dispatch, inner-loop-timed like the throughput path
+            lat_vps = time_inference(model, batch=1, inner_iters=inner,
+                                     repeats=repeats)
+            latency_ms = 1000.0 / lat_vps
             if isinstance(patch, tuple):  # AdaFocus+ (patch, budget) point
                 patch = f"{patch[0]}@K{patch[1]}"
             row = {"family": family, "patch": patch,
                    "videos_per_sec": round(vps, 1),
+                   "latency_ms_bs1": round(latency_ms, 2),
                    "batch": args.batch,
                    "device": jax.devices()[0].device_kind}
             if not args.quick:
@@ -106,6 +116,9 @@ def main() -> None:
             if "videos_per_sec" in ref:
                 row["speedup_vs_ref_gpu"] = round(
                     vps / ref["videos_per_sec"], 2)
+            if "latency_s" in ref:
+                row["latency_speedup_vs_ref_cpu"] = round(
+                    ref["latency_s"] * 1000.0 / latency_ms, 1)
             if "gflops" in ref:
                 row["ref_gflops"] = ref["gflops"]
             results.append(row)
@@ -126,10 +139,12 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
 
-    print("\n| family | patch | videos/s/chip | GFLOPs/video (ref) | vs ref GPU |")
-    print("|---|---|---|---|---|")
+    print("\n| family | patch | videos/s/chip | bs=1 latency (ms) "
+          "| GFLOPs/video (ref) | vs ref GPU |")
+    print("|---|---|---|---|---|---|")
     for r in results:
         print(f"| {r['family']} | {r['patch']}^2 | {r['videos_per_sec']} "
+              f"| {r['latency_ms_bs1']} "
               f"| {r.get('gflops_per_video', '-')} ({r.get('ref_gflops', '-')}) "
               f"| {r.get('speedup_vs_ref_gpu', '-')}x |")
 

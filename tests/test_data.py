@@ -258,6 +258,44 @@ def test_frame_folder_source_roundtrip(tmp_path):
     assert abs(int(fallback.mean()) - 50) < 3
 
 
+def test_loader_process_pool_matches_threads(tmp_path):
+    """decode_procs>0 (the reference's worker-process DataLoader,
+    main_dist.py:194-239) must produce bit-identical batches to the thread
+    path: same sampling seeds, same decode."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from adafocus_tpu.data.pipeline import FrameFolderSource
+
+    rng = np.random.RandomState(0)
+    for v in range(4):
+        d = tmp_path / f"vid{v}"
+        d.mkdir()
+        for i in (1, 2, 3, 4):
+            Image.fromarray(
+                rng.randint(0, 255, (40, 56, 3)).astype(np.uint8)
+            ).save(d / f"image_{i:06d}.jpg")
+    recs = [VideoRecord(f"vid{v}", 4, (v, -1, -1)) for v in range(4)]
+
+    def run(decode_procs):
+        src = FrameFolderSource(str(tmp_path))
+        cfg = LoaderConfig(num_segments=2, canvas_size=24, batch_size=2,
+                           mode="train", num_workers=2,
+                           decode_procs=decode_procs)
+        loader = VideoLoader(recs, src, cfg)
+        loader.set_epoch(1)
+        out = list(loader)
+        loader.close()
+        return out
+
+    threads = run(0)
+    procs = run(2)
+    assert len(threads) == len(procs) == 2
+    for bt, bp in zip(threads, procs):
+        for k in bt:
+            np.testing.assert_array_equal(bt[k], bp[k])
+
+
 def test_loader_missing_video_resamples(tmp_path):
     from adafocus_tpu.data.pipeline import FrameFolderSource
 

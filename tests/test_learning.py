@@ -79,6 +79,104 @@ def test_stage1_learns_quadrant_classification():
     assert late > early + 0.2
 
 
+def _texture_batch(key, b=16, noise=0.1):
+    """Class c in {0..3} = the TEXTURE of an 8x8 blob placed in a random
+    quadrant: horizontal stripes / vertical stripes / checker / inverted
+    checker, all period 2 and brightness-matched so the 2x-downsampled
+    glance reveals only WHERE the blob is, never its class. Random 16^2
+    patches hit the blob ~25% of the time; a trained policy always can —
+    accuracy through the full pipeline is therefore policy-limited, the
+    same structure as the real AdaFocus task."""
+    kc, kq, kn = jax.random.split(key, 3)
+    labels = jax.random.randint(kc, (b,), 0, 4)
+    quad = jax.random.randint(kq, (b,), 0, 4)
+    t, s = CFG.num_frames, CFG.image_size
+    frames = noise * jax.random.normal(kn, (b, t, s, s, 3), jnp.float32)
+    yy, xx = jnp.mgrid[0:8, 0:8]
+    patterns = jnp.stack([
+        (yy % 2), (xx % 2), ((yy + xx) % 2), ((yy + xx + 1) % 2)
+    ]).astype(jnp.float32) * 2.0                     # (4, 8, 8)
+    blob = patterns[..., None] * jnp.ones((1, 1, 1, 3))  # (4, 8, 8, 3)
+    qy = (quad // 2) * 16 + 4
+    qx = (quad % 2) * 16 + 4
+
+    def put(frame_t, tex, y, x):
+        return jax.lax.dynamic_update_slice(frame_t, tex, (y, x, 0))
+
+    frames = jax.vmap(
+        lambda fr, c, y, x: jax.vmap(lambda f: put(f, blob[c], y, x))(fr)
+    )(frames, labels, qy, qx)
+    flat = pad_for_extraction(frames.reshape(b * t, s, s, 3))
+    small = jax.image.resize(frames, (b, t, 16, 16, 3), "linear")
+    return {
+        "frames_flat": flat.reshape(b, t, *flat.shape[1:]),
+        "frames_small": small,
+        "labels": labels,
+    }
+
+
+@pytest.mark.slow
+def test_full_staged_recipe_composes():
+    """The reference's whole training story end to end (main_dist.py
+    stages): backbone+head pretrain with random patches -> PPO policy
+    training -> classifier finetune under the frozen greedy policy ->
+    deployment eval. On the texture task the glance can only localize, so
+    eval accuracy is capped by patch placement: the PPO stage must lift
+    greedy-policy eval accuracy well above the stage-1 (untrained-policy)
+    level, and stage 3 must not regress it."""
+    from adafocus_tpu.ppo.core import ppo_init
+    from adafocus_tpu.train.stages import make_eval_step
+
+    model = GFV(CFG)
+    eval_step = jax.jit(make_eval_step(model))
+
+    def eval_acc(state, n=6):
+        accs = []
+        for i in range(n):
+            batch = _texture_batch(jax.random.key(9000 + i))
+            logits, _ = eval_step(state, batch, jax.random.key(i))
+            pred = jnp.argmax(logits[:, -1], axis=-1)
+            accs.append(float(jnp.mean(pred == batch["labels"])))
+        return float(np.mean(accs))
+
+    # stage 0/1: joint pretrain, random patches
+    tx0 = make_stage_optimizer(
+        0, OptimConfig(backbone_lr=0.05, fc_lr=0.05, epochs=1,
+                       steps_per_epoch=80, lr_type="cos"))
+    state = create_train_state(model, jax.random.key(0), tx=tx0)
+    warm = jax.jit(make_stage_train_step(model, 0, tx0))
+    for i in range(80):
+        batch = _texture_batch(jax.random.key(4000 + i))
+        state, _ = warm(state, batch, jax.random.key(i))
+    acc_stage1 = eval_acc(state)
+
+    # stage 2: PPO (policy only)
+    ppo_cfg = PPOConfig(lr=1e-3)
+    state = state.replace(ppo=ppo_init(state.params["policy"], ppo_cfg))
+    ppo_step = jax.jit(make_stage2_step(model, ppo_cfg))
+    for i in range(60):
+        batch = _texture_batch(jax.random.key(5000 + i))
+        state, _ = ppo_step(state, batch, jax.random.key(700 + i))
+    acc_stage2 = eval_acc(state)
+
+    # stage 3: classifier finetune under the frozen greedy policy
+    tx3 = make_stage_optimizer(
+        3, OptimConfig(fc_lr=0.02, epochs=1, steps_per_epoch=30))
+    state = state.replace(opt_state=tx3.init(state.params))
+    tune = jax.jit(make_stage_train_step(model, 3, tx3))
+    for i in range(30):
+        batch = _texture_batch(jax.random.key(6000 + i))
+        state, _ = tune(state, batch, jax.random.key(800 + i))
+    acc_stage3 = eval_acc(state)
+
+    assert acc_stage2 > acc_stage1 + 0.1, (
+        f"PPO did not lift greedy-policy eval: "
+        f"{acc_stage1:.3f} -> {acc_stage2:.3f}")
+    assert acc_stage3 >= acc_stage2 - 0.05, (
+        f"stage 3 regressed: {acc_stage2:.3f} -> {acc_stage3:.3f}")
+    assert acc_stage3 > 0.6, f"final accuracy too low: {acc_stage3:.3f}"
+
+
 @pytest.mark.slow
 def test_stage2_ppo_improves_over_random_baseline():
     """Reward = policy-patch confidence - random-patch confidence. After a
@@ -96,12 +194,17 @@ def test_stage2_ppo_improves_over_random_baseline():
         state, _ = warm(state, batch, jax.random.key(i))
 
     ppo_step = jax.jit(make_stage2_step(model, PPOConfig(lr=1e-3)))
-    rewards = []
+    rewards, entropies = [], []
     for i in range(40):
         batch = _quadrant_batch(jax.random.key(3000 + i))
         state, metrics = ppo_step(state, batch, jax.random.key(500 + i))
         rewards.append(float(metrics["reward_mean"]))
+        entropies.append(float(metrics["ppo/entropy"]))
     early = np.mean(rewards[:8])
     late = np.mean(rewards[-8:])
-    assert late > early - 0.02, f"PPO degraded: {early:.4f} -> {late:.4f}"
+    assert late > early, f"PPO did not improve: {early:.4f} -> {late:.4f}"
     assert late > 0.0, f"policy no better than random patches ({late:.4f})"
+    # exploration must collapse onto the informative patches
+    assert np.mean(entropies[-8:]) < np.mean(entropies[:8]), (
+        f"policy entropy did not fall: {np.mean(entropies[:8]):.4f} -> "
+        f"{np.mean(entropies[-8:]):.4f}")

@@ -64,6 +64,60 @@ def test_stage1_data_parallel_step():
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_ppo_update_device_count_invariant():
+    """Sharding the episode batch over 8 devices must produce the SAME
+    policy update as one device on the identical global batch (reference
+    normalizes returns over the full batch, ppo.py:151-157; per-shard
+    normalization would change semantics with device count)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from adafocus_tpu.ppo.core import (
+        discounted_returns, make_policy, ppo_init, ppo_update,
+    )
+
+    policy = make_policy(CFG)
+    T, B, gh, gw, c = CFG.num_frames, 8, 2, 2, 8
+    k = jax.random.key(11)
+    fmaps = jax.random.normal(k, (T, B, gh, gw, c))
+    params = policy.init(
+        jax.random.key(12), policy.initial_hidden(B), fmaps[0]
+    )["params"]
+    ppo_cfg = PPOConfig()
+    state = ppo_init(params, ppo_cfg)
+    idx = jax.random.randint(jax.random.key(13), (T, B), 0, CFG.action_dim)
+    logp = -jnp.abs(jax.random.normal(jax.random.key(14), (T, B)))
+    rewards = jax.random.normal(jax.random.key(15), (T, B))
+
+    def update(state, fmaps, idx, logp, rewards, axis):
+        memory = {
+            "fmaps": fmaps, "actions": idx, "old_logprob": logp,
+            "returns": discounted_returns(rewards, ppo_cfg.gamma,
+                                          axis_name=axis),
+        }
+        new_state, _ = ppo_update(policy, state, None, memory, ppo_cfg,
+                                  axis_name=axis)
+        return new_state.params
+
+    single = update(state, fmaps, idx, logp, rewards, None)
+
+    mesh = make_mesh()
+    sharded_fn = shard_map(
+        partial(update, axis="data"), mesh=mesh,
+        in_specs=(P(), P(None, "data"), P(None, "data"), P(None, "data"),
+                  P(None, "data")),
+        out_specs=P(),
+        check_vma=False,  # GRU scan carries start unvarying (see mesh.py)
+    )
+    sharded = jax.jit(sharded_fn)(state, fmaps, idx, logp, rewards)
+    # atol: float-accumulation noise through Adam's sqrt normalization;
+    # per-shard return normalization (the bug guarded against) diverges ~1e-1
+    for a, b in zip(jax.tree.leaves(single), jax.tree.leaves(sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 def test_stage2_data_parallel_ppo():
     """The capability the reference forbids: distributed RL training
     (assert not args.distributed, actnet/main_dist.py:112-114)."""

@@ -102,6 +102,48 @@ def test_stage2_reward_modes_run(model_and_batch):
         assert np.isfinite(float(metrics["reward_mean"])), mode
 
 
+def test_lookahead_baseline_matches_sequential_reference(model_and_batch):
+    """The stage-2 random baseline is a one-step lookahead from the POLICY
+    trajectory's GRU hidden (reference gfv_net.py:174-206 + :449-457:
+    test_single_forward reads hx without writing it back). The batched
+    implementation (classify_seq_with_hiddens + one vectorized
+    classifier_lookahead) must equal the hand-rolled sequential MDP loop."""
+    model, _ = model_and_batch
+    state = create_train_state(model, jax.random.key(5))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    b, t, d = 2, CFG.num_frames, CFG.fused_dim
+    rng = np.random.RandomState(1)
+    fused_policy = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    fused_rand = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+
+    # batched path (what make_stage2_step runs)
+    _, hiddens = model.apply(
+        variables, fused_policy, method=GFV.classify_seq_with_hiddens
+    )
+    h_prefix = jnp.concatenate(
+        [jnp.zeros_like(hiddens[:, :1]), hiddens[:, :-1]], axis=1
+    )
+    batched = model.apply(
+        variables, h_prefix.reshape(b * t, -1), fused_rand.reshape(b * t, -1),
+        method=GFV.classifier_lookahead,
+    ).reshape(b, t, -1)
+
+    # sequential reference: carry h along the policy trajectory; at each t
+    # peek one GRU step with the random features without advancing h
+    h = jnp.zeros((b, CFG.hidden_dim), jnp.float32)
+    seq = []
+    for i in range(t):
+        seq.append(model.apply(
+            variables, h, fused_rand[:, i], method=GFV.classifier_lookahead
+        ))
+        h, _ = model.apply(
+            variables, h, fused_policy[:, i], method=GFV.classifier_step
+        )
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(jnp.stack(seq, axis=1)), atol=1e-5
+    )
+
+
 def test_eval_step(model_and_batch):
     model, batch = model_and_batch
     state = create_train_state(model, jax.random.key(4))
