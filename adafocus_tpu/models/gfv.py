@@ -359,25 +359,43 @@ def extract_for_frames(
 
 def inference(
     model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
-    rng: jax.Array, impl: str = "auto",
+    rng: jax.Array, impl: str = "auto", fused: str = "auto",
 ) -> jax.Array:
     """Deployment forward (two-phase batched; replaces the reference's
     sequential eval loop, actnet/models/gfv_net.py:95-133).
 
     frames_flat: (B, T, S, L) lane-padded full-res frames.
     frames_small: (B, T, g, g, 3) downsampled frames.
+    fused: backbone execution path — 'on' routes through the fused Pallas
+    block kernels (models/fused_inference.py; same math, exactness-tested);
+    'auto' currently resolves to the XLA/flax path, which measures faster
+    (see ops/fused_blocks.py).
     Returns per-step logits (B, T, classes); the final prediction is the
     last step (GRU) — callers may also use every step for anytime eval.
     """
+    from adafocus_tpu.models.fused_inference import (
+        fused_enabled, fused_focus, fused_glance,
+    )
+
     cfg = model.cfg
     b, t = frames_small.shape[:2]
-    fmap, pooled, roll = glance_policy_actions(
-        model, variables, frames_small, rng, mode="greedy"
-    )
+    use_fused = fused_enabled(fused)
+    if use_fused:
+        fmap, pooled = fused_glance(model, variables, frames_small)
+        roll = model.apply(
+            variables, fmap, rng, "greedy", False, method=GFV.policy_rollout
+        )
+    else:
+        fmap, pooled, roll = glance_policy_actions(
+            model, variables, frames_small, rng, mode="greedy"
+        )
     patches = extract_for_frames(
         frames_flat, roll["actions"], cfg.image_size, cfg.patch_size, impl=impl
     )
-    local = model.apply(variables, patches, method=GFV.focus)
+    if use_fused:
+        local = fused_focus(model, variables, patches)
+    else:
+        local = model.apply(variables, patches, method=GFV.focus)
     local = local.reshape(b, t, -1)
     return fuse_and_classify(model, variables, pooled, local, train=False)
 

@@ -140,21 +140,42 @@ def forward_random_sthsth(
 
 def inference_sthsth(
     model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
-    rng: jax.Array, impl: str = "auto",
+    rng: jax.Array, impl: str = "auto", fused: str = "auto",
 ) -> jax.Array:
     """Deployment forward: greedy per-division policy, ONE batched focuser
     call, sum consensus (replaces the reference's per-division accumulate-
-    and-rerun loop, sthsth/evaluate.py:165-226 + gfv_net.py:190-225)."""
+    and-rerun loop, sthsth/evaluate.py:165-226 + gfv_net.py:190-225).
+    ``fused='on'`` routes both TSM backbones through the fused Pallas
+    block kernels (models/fused_inference.py; 'auto' stays on the faster
+    XLA path — see ops/fused_blocks.py)."""
+    from adafocus_tpu.models.fused_inference import (
+        fused_enabled, fused_focus, fused_glance_logits,
+    )
+
     cfg = model.cfg
     b, tf = frames_flat.shape[:2]
-    _, global_logits, roll = glance_division_rollout(
-        model, variables, frames_small, rng, mode="greedy"
-    )
+    use_fused = fused_enabled(fused)
+    if use_fused:
+        fmap, global_logits = fused_glance_logits(
+            model, variables, frames_small)
+        roll = model.apply(
+            variables, fmap, rng, "greedy", False,
+            method=GFV.policy_rollout_div,
+        )
+    else:
+        _, global_logits, roll = glance_division_rollout(
+            model, variables, frames_small, rng, mode="greedy"
+        )
     actions = actions_per_frame(roll["actions"], tf)
     patches = extract_for_frames(
         frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl
     )
-    local_logits = local_frame_logits(model, variables, patches, b)
+    if use_fused:
+        feats = fused_focus(model, variables, patches).reshape(b, tf, -1)
+        local_logits = model.apply(
+            variables, feats, False, method=GFV.classify_frame_logits)
+    else:
+        local_logits = local_frame_logits(model, variables, patches, b)
     return sum_consensus(global_logits, local_logits, cfg.with_glancer)
 
 
