@@ -34,19 +34,59 @@ def make_data(cfg: GFVConfig, batch: int, dtype=None):
     }
 
 
-def _inference_fn(model: GFV):
+def _inference_fn(model: GFV, fused: str = "auto"):
     if model.cfg.frame_budget > 0:
         from adafocus_tpu.models.gfv_plus import inference_plus
 
-        fam_inference = inference_plus
-    elif model.cfg.classifier == "consensus":
-        fam_inference = inference_sthsth
-    else:
-        fam_inference = inference
+        # AdaFocus+ routes through forward_plus (no fused dispatch yet)
+        def fn(params, batch_stats, frames_flat, frames_small, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            return inference_plus(
+                model, variables, frames_flat, frames_small, rng)
+
+        return fn
+    fam_inference = (
+        inference_sthsth if model.cfg.classifier == "consensus" else inference
+    )
 
     def fn(params, batch_stats, frames_flat, frames_small, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        return fam_inference(model, variables, frames_flat, frames_small, rng)
+        return fam_inference(
+            model, variables, frames_flat, frames_small, rng, fused=fused)
+
+    return fn
+
+
+def _inference_fn_q8(model: GFV, seed: int = 0):
+    """int8-PTQ deployment fn: calibrates activation scales on random
+    deployment-shaped data (scale VALUES are irrelevant to throughput; the
+    quality story is pinned by tests/test_quant.py on calibrated real
+    activations) and closes over them as compile-time constants."""
+    from adafocus_tpu.models.quant_inference import (
+        calibrate_gfv, inference_q8, inference_q8_sthsth,
+    )
+
+    cfg = model.cfg
+    if cfg.frame_budget > 0:
+        raise ValueError("int8 serving path does not cover AdaFocus+ yet")
+    state = create_train_state(model, jax.random.key(seed), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    k1, k2 = jax.random.split(jax.random.key(seed + 2))
+    calib = {
+        "frames_small": jax.random.normal(
+            k1, (2, cfg.num_frames, cfg.glance_size, cfg.glance_size, 3),
+            jnp.float32),
+        "patches": jax.random.normal(
+            k2, (2 * cfg.t_focuser, cfg.patch_size, cfg.patch_size, 3),
+            jnp.float32),
+    }
+    scales = calibrate_gfv(model, variables, [calib])
+    fam = (inference_q8_sthsth if cfg.classifier == "consensus"
+           else inference_q8)
+
+    def fn(params, batch_stats, frames_flat, frames_small, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return fam(model, variables, scales, frames_flat, frames_small, rng)
 
     return fn
 
@@ -57,12 +97,17 @@ def time_inference(
     inner_iters: int = 10,
     repeats: int = 3,
     seed: int = 0,
+    mode: str = "bf16",
 ) -> float:
-    """Best-of-``repeats`` videos/sec for the deployment forward."""
+    """Best-of-``repeats`` videos/sec for the deployment forward.
+
+    mode: 'bf16' (production path) or 'int8' (PTQ serving path,
+    models/quant_inference.py)."""
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
     data = make_data(cfg, batch)
-    fn = _inference_fn(model)
+    fn = _inference_fn_q8(model, seed) if mode == "int8" else _inference_fn(
+        model)
 
     @jax.jit
     def timed(params, batch_stats, frames_flat, frames_small, rng):
@@ -98,11 +143,14 @@ def inference_gflops_per_video(
     ``mac_convention`` (default) halves XLA's multiply+add=2 count to the
     MAC=1 convention the reference's published numbers use (thop-style,
     e.g. "ResNet-50 = 4.1 GFLOPs @ 224^2"), so values compare directly
-    against BASELINE.md."""
+    against BASELINE.md.
+
+    Counted on the UNFUSED program: XLA cost analysis cannot see inside
+    Pallas custom calls, and the fused path computes the identical math."""
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(0), batch_size=1)
     data = make_data(cfg, batch)
-    fn = _inference_fn(model)
+    fn = _inference_fn(model, fused="off")
     compiled = jax.jit(fn).lower(
         state.params, state.batch_stats, data["frames_flat"],
         data["frames_small"], jax.random.key(1),

@@ -72,6 +72,9 @@ def main() -> None:
     ap.add_argument("--families", default="actnet,sthsth")
     ap.add_argument("--quick", action="store_true",
                     help="fewer iters/repeats, skip flops")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8 PTQ serving path "
+                         "(models/quant_inference.py) per config")
     args = ap.parse_args()
 
     import adafocus_tpu
@@ -121,6 +124,10 @@ def main() -> None:
                     ref["latency_s"] * 1000.0 / latency_ms, 1)
             if "gflops" in ref:
                 row["ref_gflops"] = ref["gflops"]
+            if args.int8 and model.cfg.frame_budget == 0:
+                row["videos_per_sec_int8"] = round(
+                    time_inference(model, batch=args.batch, inner_iters=inner,
+                                   repeats=repeats, mode="int8"), 1)
             results.append(row)
             print(json.dumps(row), flush=True)
 

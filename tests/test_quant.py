@@ -1,0 +1,157 @@
+"""int8 PTQ deployment path (ops/quant.py, models/quant_inference.py).
+
+Pins: the symmetric-quant math (exactness on representable values),
+calibration -> quantized-backbone agreement with the f32 forward, and the
+full int8 deployment forward against the bf16 inference dispatch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adafocus_tpu.models.gfv import GFV, GFVConfig, inference
+from adafocus_tpu.models.mobilenet import MobileNetV2
+from adafocus_tpu.models.quant_inference import (
+    calibrate_backbone,
+    calibrate_gfv,
+    inference_q8,
+    inference_q8_sthsth,
+    mobilenet_features_q8,
+    resnet_features_q8,
+)
+from adafocus_tpu.models.resnet import resnet50
+from adafocus_tpu.ops.patch import pad_for_extraction
+from adafocus_tpu.ops.quant import (
+    QConv,
+    int8_conv,
+    quantize_act,
+    quantize_weight,
+)
+from adafocus_tpu.train.stages import create_train_state
+
+
+def test_quantize_weight_per_channel_bound():
+    k = jax.random.normal(jax.random.key(0), (3, 3, 8, 16)) * jnp.linspace(
+        0.1, 3.0, 16)
+    q, scale = quantize_weight(k)
+    assert q.dtype == jnp.int8 and scale.shape == (16,)
+    deq = q.astype(jnp.float32) * scale
+    # symmetric round-to-nearest: error bounded by scale/2 per element
+    err = np.abs(np.asarray(deq - k))
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+    # the max-magnitude element of each channel hits 127 exactly
+    assert (np.abs(np.asarray(q)).max(axis=(0, 1, 2)) == 127).all()
+
+
+def test_int8_conv_exact_on_representable_values():
+    """With activations and weights that are exact multiples of their
+    scales, the int8 conv must reproduce the f32 conv bit-for-bit."""
+    key = jax.random.key(1)
+    s_x = jnp.float32(0.25)
+    x = jax.random.randint(key, (2, 8, 8, 4), -100, 100).astype(
+        jnp.float32) * s_x
+    kq = jax.random.randint(jax.random.key(2), (3, 3, 4, 6), -127, 127
+                            ).astype(jnp.int8)
+    w_scale = jnp.full((6,), 0.5, jnp.float32)
+    bias = jnp.arange(6, dtype=jnp.float32)
+    unit = QConv(kq, w_scale, bias, s_x)
+    got = int8_conv(quantize_act(x, s_x), unit)
+    ref = jax.lax.conv_general_dilated(
+        x, kq.astype(jnp.float32) * w_scale, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_mobilenet_q8_matches_f32_features():
+    m = MobileNetV2(num_classes=10)
+    x = jax.random.normal(jax.random.key(3), (4, 32, 32, 3), jnp.float32)
+    vs = m.init(jax.random.key(0), x)
+    _, ref_pool = m.apply(vs, x, method=MobileNetV2.features)
+    scales = calibrate_backbone("mbv2", vs, [x], dtype=jnp.float32)
+    assert "block_0_0/dw" in scales and "head_conv" in scales
+    _, pool_q = mobilenet_features_q8(vs, x, scales)
+    assert _cosine(pool_q, ref_pool) > 0.98, _cosine(pool_q, ref_pool)
+
+
+def test_resnet_q8_matches_f32_features():
+    m = resnet50(num_classes=10)
+    x = jax.random.normal(jax.random.key(4), (4, 32, 32, 3), jnp.float32)
+    vs = m.init(jax.random.key(0), x)
+    _, ref_pool = m.apply(vs, x, method=m.features)
+    scales = calibrate_backbone("resnet", vs, [x], dtype=jnp.float32)
+    assert "layer1_0/conv1" in scales and "layer4_2/conv3" in scales
+    _, pool_q = resnet_features_q8(vs, x, scales)
+    assert _cosine(pool_q, ref_pool) > 0.98, _cosine(pool_q, ref_pool)
+
+
+def test_inference_q8_end_to_end():
+    """Full int8 deployment forward: calibrate on eval-shaped batches, run,
+    compare against the bf16/f32 dispatch."""
+    cfg = GFVConfig(num_classes=5, num_frames=2, image_size=32,
+                    glance_size=32, patch_size=16, action_dim=4,
+                    hidden_dim=16, policy_hidden=16, dtype=jnp.float32)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    frames = jax.random.normal(
+        jax.random.key(7), (2 * cfg.num_frames, 32, 32, 3), jnp.float32)
+    flat = pad_for_extraction(frames).reshape(2, cfg.num_frames, 32, -1)
+    small = jax.random.normal(
+        jax.random.key(8), (2, cfg.num_frames, 32, 32, 3), jnp.float32)
+    rng = jax.random.key(9)
+
+    # calibration batches: glance frames + the patches the policy selects
+    from adafocus_tpu.models.gfv import extract_for_frames, \
+        glance_policy_actions
+
+    _, _, roll = glance_policy_actions(model, variables, small, rng)
+    patches = extract_for_frames(flat, roll["actions"], cfg.image_size,
+                                 cfg.patch_size)
+    scales = calibrate_gfv(model, variables,
+                           [{"frames_small": small, "patches": patches}])
+    ref = inference(model, variables, flat, small, rng, fused="off")
+    out = inference_q8(model, variables, scales, flat, small, rng)
+    assert out.shape == ref.shape
+    assert _cosine(out, ref) > 0.95, _cosine(out, ref)
+
+
+def test_inference_q8_sthsth_end_to_end():
+    """sth-sth family (TSM backbones, consensus head): int8 deployment
+    forward agrees with the f32 dispatch after calibration."""
+    from adafocus_tpu.models.gfv_sthsth import (
+        actions_per_frame, glance_division_rollout, inference_sthsth,
+    )
+    from adafocus_tpu.models.gfv import extract_for_frames
+
+    cfg = GFVConfig(num_classes=5, num_frames=2, num_frames_focuser=4,
+                    image_size=32, glance_size=32, patch_size=16,
+                    action_dim=4, hidden_dim=16, policy_hidden=16,
+                    classifier="consensus", tsm=True, video_div=2,
+                    dtype=jnp.float32)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    frames = jax.random.normal(
+        jax.random.key(7), (2 * cfg.t_focuser, 32, 32, 3), jnp.float32)
+    flat = pad_for_extraction(frames).reshape(2, cfg.t_focuser, 32, -1)
+    small = jax.random.normal(
+        jax.random.key(8), (2, cfg.num_frames, 32, 32, 3), jnp.float32)
+    rng = jax.random.key(9)
+
+    _, _, roll = glance_division_rollout(model, variables, small, rng)
+    actions = actions_per_frame(roll["actions"], cfg.t_focuser)
+    patches = extract_for_frames(flat, actions, cfg.image_size,
+                                 cfg.patch_size)
+    scales = calibrate_gfv(model, variables,
+                           [{"frames_small": small, "patches": patches}])
+    ref = inference_sthsth(model, variables, flat, small, rng, fused="off")
+    out = inference_q8_sthsth(model, variables, scales, flat, small, rng)
+    assert out.shape == ref.shape
+    assert _cosine(out, ref) > 0.95, _cosine(out, ref)
