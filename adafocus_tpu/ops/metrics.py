@@ -42,15 +42,23 @@ def average_precision(scores: np.ndarray, targets: np.ndarray) -> float:
     return float((prec * t).sum() / n_pos)
 
 
-def mean_average_precision(scores: np.ndarray, multi_hot: np.ndarray) -> float:
+def mean_average_precision(
+    scores: np.ndarray, multi_hot: np.ndarray, skip_empty: bool = False
+) -> float:
     """mAP over classes; scores (N, C), multi_hot (N, C) in {0,1}.
 
-    Classes with no positives are skipped (reference cal_map computes AP per
-    class over the concatenated validation outputs)."""
+    Default matches the reference convention exactly (cal_map,
+    actnet/ops/utils.py:79-87: ``/ max(truth.sum(), 1)``): a class with no
+    positives contributes AP 0 to the mean. On a full validation set every
+    class has positives so the two conventions agree; on a shard they
+    differ. ``skip_empty=True`` averages only over classes with positives
+    (the common sklearn-style alternative)."""
     aps = []
     for c in range(scores.shape[1]):
         if multi_hot[:, c].sum() > 0:
             aps.append(average_precision(scores[:, c], multi_hot[:, c]))
+        elif not skip_empty:
+            aps.append(0.0)
     return float(np.mean(aps)) if aps else 0.0
 
 
