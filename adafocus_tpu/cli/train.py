@@ -71,6 +71,15 @@ def build_steps(cfg: ExperimentConfig, model, tx, axis_name=None):
 
         train = make_plus_train_step(model, stage, tx, axis_name=axis_name)
         return train, make_plus_eval_step(model)
+    if cfg.model.frame_budget > 0 and stage == 2 and cfg.model.plus_rl:
+        from adafocus_tpu.train.stages_plus import (
+            make_plus_eval_step,
+            make_plus_stage2_joint_step,
+        )
+
+        train = make_plus_stage2_joint_step(model, cfg.ppo,
+                                            axis_name=axis_name)
+        return train, make_plus_eval_step(model)
     if stage == 2:
         train = make_stage2_step(model, cfg.ppo, axis_name=axis_name)
     else:

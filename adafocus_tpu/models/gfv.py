@@ -80,6 +80,9 @@ class GFVConfig:
     dropout: float = 0.5          # sth-sth local-head dropout
     frame_budget: int = 0         # AdaFocus+: focuser sees only K of T
     selector_hidden: int = 256    # AdaFocus+ frame-selector GRU width
+    plus_rl: bool = False         # AdaFocus+: joint temporal+spatial PPO
+                                  # (sequential selector actor-critic)
+                                  # instead of the ST-gumbel selector
     partial_bn: bool = False      # TSM partial-BN freezing on the focuser
     dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
 
@@ -143,12 +146,20 @@ class GFV(nn.Module):
                 dtype=cfg.dtype,
             )
         if cfg.frame_budget > 0:  # AdaFocus+ temporal selection head
-            from adafocus_tpu.models.gfv_plus import FrameSelector
+            if cfg.plus_rl:
+                from adafocus_tpu.models.gfv_plus import SelectorActorCritic
 
-            self.selector = FrameSelector(
-                hidden_dim=cfg.selector_hidden, in_dim=cfg.glance_dim,
-                dtype=cfg.dtype,
-            )
+                self.selector_ac = SelectorActorCritic(
+                    hidden_dim=cfg.selector_hidden, in_dim=cfg.glance_dim,
+                    dtype=cfg.dtype,
+                )
+            else:
+                from adafocus_tpu.models.gfv_plus import FrameSelector
+
+                self.selector = FrameSelector(
+                    hidden_dim=cfg.selector_hidden, in_dim=cfg.glance_dim,
+                    dtype=cfg.dtype,
+                )
 
     # ---- phase 1: glance -------------------------------------------------
 
@@ -232,6 +243,16 @@ class GFV(nn.Module):
         relevance scores (B, T)."""
         return self.selector(pooled)
 
+    def select_rollout(
+        self, pooled: jax.Array, rng: jax.Array, mode: str = "sample",
+        actions=None,
+    ):
+        """AdaFocus+ joint-RL temporal policy (cfg.plus_rl): K-slot
+        sequential frame selection (see gfv_plus.SelectorActorCritic)."""
+        return self.selector_ac.rollout(
+            pooled, self.cfg.frame_budget, rng, mode=mode, actions=actions
+        )
+
     # ---- phase 3: focus + classify ---------------------------------------
 
     def focus(self, patches: jax.Array, train: bool = False) -> jax.Array:
@@ -279,7 +300,10 @@ class GFV(nn.Module):
         fmap, pooled = self.glance(frames_small)
         _ = self.glancer.classify(pooled.reshape(-1, pooled.shape[-1]))
         if self.cfg.frame_budget > 0:
-            _ = self.frame_scores(pooled)
+            if self.cfg.plus_rl:
+                _ = self.select_rollout(pooled, rng)
+            else:
+                _ = self.frame_scores(pooled)
         if self.cfg.classifier == "consensus":
             # sth-sth: the policy always sees division-stacked maps
             # ((Tg/D)*C channels), a different encoder shape than actnet's

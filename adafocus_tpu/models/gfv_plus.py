@@ -60,6 +60,91 @@ class FrameSelector(nn.Module):
         return jnp.swapaxes(self.score(hs)[..., 0], 0, 1).astype(jnp.float32)
 
 
+class SelectorActorCritic(nn.Module):
+    """Joint-RL temporal policy (cfg.plus_rl): a sequential actor-critic
+    over K frame-selection slots.
+
+    Each slot scores the not-yet-taken frames with additive attention
+    between per-frame glance features and the GRU carry (the selection
+    history), samples one frame from the masked categorical, and feeds the
+    chosen frame's features back into the GRU — frame selection as an RL
+    action space (the AR-Net hint, sthsth/ops/models_ada.py:98-126, made a
+    first-class PPO agent instead of a gumbel-softmax estimator). The K-slot
+    loop is unrolled: K <= 16 and actions feed the recurrence, so there is
+    no hoisted-projection fast path like the spatial policy's.
+    """
+
+    hidden_dim: int = 256
+    attn_dim: int = 128
+    in_dim: int = 1280
+    dtype: any = None
+
+    def setup(self):
+        self.gru = GRUCell(hidden_size=self.hidden_dim,
+                           in_features=self.in_dim, dtype=self.dtype)
+        self.key_proj = nn.Dense(self.attn_dim, dtype=self.dtype)
+        self.query_proj = nn.Dense(self.attn_dim, dtype=self.dtype)
+        self.score = nn.Dense(1, dtype=self.dtype)
+        self.critic = nn.Dense(1, dtype=self.dtype)
+
+    def rollout(
+        self, pooled: jax.Array, k: int, rng: jax.Array,
+        mode: str = "sample", actions: jax.Array = None,
+    ) -> dict:
+        """K-slot selection rollout / replay.
+
+        pooled: (B, T, D) pooled glance features. mode: 'sample'
+        (behavior rollout) | 'top' (greedy eval). actions: (B, K) int32 to
+        REPLAY a stored trajectory under current params (PPO evaluate).
+        Returns {'idx', 'logprob', 'value', 'entropy'}, each (B, K) in slot
+        (pick) order; logprob/value/entropy f32.
+        """
+        b, t, _ = pooled.shape
+        keys = self.key_proj(pooled)  # (B, T, A)
+        h = jnp.zeros((b, self.hidden_dim), self.dtype or pooled.dtype)
+        taken = jnp.zeros((b, t), bool)
+        slot_rngs = jax.random.split(rng, k)
+        outs = []
+        for j in range(k):
+            q = self.query_proj(h)
+            e = jnp.tanh(keys + q[:, None, :])
+            logits = self.score(e)[..., 0].astype(jnp.float32)  # (B, T)
+            logits = jnp.where(taken, -1e9, logits)
+            if actions is not None:
+                idx_j = actions[:, j]
+            elif mode == "sample":
+                idx_j = jax.random.categorical(slot_rngs[j], logits, axis=-1)
+            else:
+                idx_j = jnp.argmax(logits, axis=-1)
+            logp_all = jax.nn.log_softmax(logits, axis=-1)
+            logp_j = jnp.take_along_axis(logp_all, idx_j[:, None], axis=1)[:, 0]
+            p = jax.nn.softmax(logits, axis=-1)
+            ent_j = -jnp.sum(jnp.where(taken, 0.0, p * logp_all), axis=-1)
+            v_j = self.critic(h)[..., 0].astype(jnp.float32)
+            sel = jnp.take_along_axis(
+                pooled, idx_j[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            h = self.gru(h, sel)
+            taken = taken | jax.nn.one_hot(idx_j, t, dtype=bool)
+            outs.append((idx_j, logp_j, v_j, ent_j))
+        idx, logp, value, ent = (jnp.stack(z, axis=1) for z in zip(*outs))
+        return {
+            "idx": idx.astype(jnp.int32),
+            "logprob": logp.astype(jnp.float32),
+            "value": value.astype(jnp.float32),
+            "entropy": ent.astype(jnp.float32),
+        }
+
+
+def random_frame_selection(rng: jax.Array, b: int, t: int, k: int) -> jax.Array:
+    """Uniform K-of-T without replacement (B, K) — the stage-1 temporal
+    analog of random patches when cfg.plus_rl (the selector, like the
+    spatial policy, only trains in stage 2)."""
+    noise = jax.random.uniform(rng, (b, t))
+    _, idx = jax.lax.top_k(noise, k)
+    return jnp.sort(idx, axis=-1).astype(jnp.int32)
+
+
 def select_topk(
     scores: jax.Array, k: int, rng: jax.Array, mode: str = "sample"
 ) -> Tuple[jax.Array, jax.Array]:
@@ -161,9 +246,24 @@ def forward_plus(
         pooled = jax.lax.stop_gradient(pooled)
 
     # phase 1.5: temporal selection
-    scores = apply(GFV.frame_scores, pooled)
-    idx, st_mask = select_topk(scores, k, sel_key,
-                               "sample" if train else "top")
+    if cfg.plus_rl:
+        # joint-RL mode: the selector is a PPO agent (stage 2); stage 1
+        # uses random frames (the temporal analog of random patches) and
+        # stage 3/eval replays the greedy sequential rollout in pick order
+        # (the order the selector's MDP was trained in).
+        if patch_mode == "random":
+            idx = random_frame_selection(sel_key, b, t, k)
+        else:
+            sel_roll = apply(GFV.select_rollout, pooled, sel_key, "top")
+            idx = sel_roll["idx"]
+        scores = None
+        st_mask = jnp.zeros((b, t)).at[
+            jnp.arange(b)[:, None], idx
+        ].set(1.0)  # hard mask; the selector trains via PPO, not ST grads
+    else:
+        scores = apply(GFV.frame_scores, pooled)
+        idx, st_mask = select_topk(scores, k, sel_key,
+                                   "sample" if train else "top")
     fmap_sel = gather_frames(fmap, idx)
     flat_sel = gather_frames(frames_flat, idx)
 

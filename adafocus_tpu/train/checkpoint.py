@@ -25,12 +25,17 @@ import numpy as np
 
 # components each stage consumes from the previous stage's checkpoint
 # (reference main_dist.py:92-110: stage 1 loads pretrained glancer+focuser,
-# stage 2 loads stage-1 everything, stage 3 loads stage-2 everything)
+# stage 2 loads stage-1 everything, stage 3 loads stage-2 everything).
+# AdaFocus+ components (absent keys are skipped): 'selector' (ST variant,
+# trained in stage 1) rides along from stage 2 on; 'selector_ac' (joint-RL
+# variant) is trained in stage 2 like the spatial policy and loads in
+# stage 3.
 STAGE_LOADS = {
     0: (),
     1: ("glancer", "focuser"),
-    2: ("glancer", "focuser", "classifier"),
-    3: ("glancer", "focuser", "classifier", "policy"),
+    2: ("glancer", "focuser", "classifier", "selector"),
+    3: ("glancer", "focuser", "classifier", "policy", "selector",
+        "selector_ac"),
 }
 
 

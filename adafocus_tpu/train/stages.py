@@ -73,7 +73,13 @@ def create_train_state(model: GFV, rng: jax.Array, tx=None,
     if ppo_cfg is not None:
         from adafocus_tpu.ppo.core import ppo_init
 
-        ppo = ppo_init(params["policy"], ppo_cfg)
+        ppo_params = params["policy"]
+        if cfg.frame_budget > 0 and cfg.plus_rl:
+            # joint temporal+spatial PPO (stages_plus): one learner over
+            # both policies' params
+            ppo_params = {"policy": params["policy"],
+                          "selector_ac": params["selector_ac"]}
+        ppo = ppo_init(ppo_params, ppo_cfg)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32), ppo=ppo)
 

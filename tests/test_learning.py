@@ -192,6 +192,130 @@ def test_full_staged_recipe_composes():
     assert acc_stage3 > 0.28, f"final accuracy at chance: {acc_stage3:.3f}"
 
 
+PLUS_CFG = GFVConfig(
+    num_classes=4, num_frames=6, image_size=32, glance_size=16,
+    patch_size=16, action_dim=4, hidden_dim=32, policy_hidden=32,
+    frame_budget=2, selector_hidden=16, plus_rl=True, dtype=jnp.float32,
+)
+
+
+def _sparse_frame_batch(key, b=16, noise=0.1):
+    """Joint-RL toy task: of T=6 frames, only 2 (random per video) carry a
+    textured blob (the _texture_batch patterns — class visible only to the
+    focuser) at a random quadrant; the other frames are noise. The glance
+    reveals WHICH frames have a blob and WHERE, never the class, so the
+    confidence reward must flow through the temporal selector (pick blob
+    frames) AND the spatial policy (pick the blob quadrant). Returns the
+    batch plus the (B, T) informative-frame mask."""
+    kc, kq, kf, kn = jax.random.split(key, 4)
+    cfg = PLUS_CFG
+    t, s = cfg.num_frames, cfg.image_size
+    labels = jax.random.randint(kc, (b,), 0, 4)
+    quad = jax.random.randint(kq, (b,), 0, 4)
+    # 2 distinct informative frames per video
+    frame_noise = jax.random.uniform(kf, (b, t))
+    _, info_idx = jax.lax.top_k(frame_noise, 2)  # (B, 2)
+    info_mask = jnp.zeros((b, t)).at[
+        jnp.arange(b)[:, None], info_idx].set(1.0)
+    frames = noise * jax.random.normal(kn, (b, t, s, s, 3), jnp.float32)
+    yy, xx = jnp.mgrid[0:8, 0:8]
+    patterns = jnp.stack([
+        (yy % 2), (xx % 2), ((yy + xx) % 2), ((yy + xx + 1) % 2)
+    ]).astype(jnp.float32) * 2.0
+    blobs = patterns[..., None] * jnp.ones((1, 1, 1, 3))  # (4, 8, 8, 3)
+    qy = (quad // 2) * 16 + 4
+    qx = (quad % 2) * 16 + 4
+
+    def put(frame, m, tex, y, x):
+        patch = tex * m + jax.lax.dynamic_slice(
+            frame, (y, x, 0), (8, 8, 3)) * (1 - m)
+        return jax.lax.dynamic_update_slice(frame, patch, (y, x, 0))
+
+    frames = jax.vmap(
+        lambda fr, ms, c, y, x: jax.vmap(
+            lambda f, m: put(f, m, blobs[c], y, x))(fr, ms)
+    )(frames, info_mask, labels, qy, qx)
+    flat = pad_for_extraction(frames.reshape(b * t, s, s, 3))
+    small = jax.image.resize(frames, (b, t, 16, 16, 3), "linear")
+    return {
+        "frames_flat": flat.reshape(b, t, *flat.shape[1:]),
+        "frames_small": small,
+        "labels": labels,
+    }, info_mask
+
+
+@pytest.mark.slow
+def test_plus_joint_rl_learns_frame_selection():
+    """AdaFocus+ joint temporal+spatial PPO (cfg.plus_rl): on a task where
+    only 2 of 6 frames carry class evidence (positions random per video),
+    stage-2 joint training must (a) raise the joint reward over the
+    random-frame/random-patch lookahead baseline, (b) reduce entropy, and
+    (c) teach the greedy selector to pick informative frames at a rate
+    clearly above the 1/3 chance level."""
+    from adafocus_tpu.models.gfv_plus import SelectorActorCritic
+    from adafocus_tpu.train.stages_plus import (
+        make_plus_stage2_joint_step,
+        make_plus_train_step,
+    )
+
+    model = GFV(PLUS_CFG)
+    ppo_cfg = PPOConfig(lr=3e-3)
+    tx = make_stage_optimizer(
+        0, OptimConfig(backbone_lr=0.02, fc_lr=0.02, epochs=1,
+                       steps_per_epoch=80, lr_type="cos"))
+    state = create_train_state(model, jax.random.key(0), tx=tx,
+                               ppo_cfg=ppo_cfg)
+    warm = jax.jit(make_plus_train_step(model, 1, tx))
+    for i in range(80):
+        batch, _ = _sparse_frame_batch(jax.random.key(2000 + i))
+        state, _ = warm(state, batch, jax.random.key(i))
+
+    selector = SelectorActorCritic(
+        hidden_dim=PLUS_CFG.selector_hidden, in_dim=PLUS_CFG.glance_dim,
+        dtype=PLUS_CFG.dtype)
+
+    def selection_hit_rate(state, n=4):
+        """Fraction of greedy-selected frames that are informative."""
+        from adafocus_tpu.models.gfv import GFV as _GFV
+
+        hits = []
+        for i in range(n):
+            batch, info = _sparse_frame_batch(jax.random.key(8000 + i))
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            _, pooled = model.apply(
+                variables, batch["frames_small"], False, method=_GFV.glance)
+            roll = selector.apply(
+                {"params": state.params["selector_ac"]}, pooled,
+                PLUS_CFG.frame_budget, jax.random.key(i), "top",
+                method=SelectorActorCritic.rollout)
+            picked = np.asarray(roll["idx"])
+            m = np.asarray(info)
+            hits.append(np.mean(
+                [m[b_, f] for b_ in range(m.shape[0]) for f in picked[b_]]))
+        return float(np.mean(hits))
+
+    hit_before = selection_hit_rate(state)
+
+    step = jax.jit(make_plus_stage2_joint_step(model, ppo_cfg))
+    rewards, entropies = [], []
+    for i in range(60):
+        batch, _ = _sparse_frame_batch(jax.random.key(3000 + i))
+        state, metrics = step(state, batch, jax.random.key(500 + i))
+        rewards.append(float(metrics["reward_mean"]))
+        entropies.append(float(metrics["ppo/entropy"]))
+
+    hit_after = selection_hit_rate(state)
+    early, late = np.mean(rewards[:10]), np.mean(rewards[-10:])
+    assert late > early, f"joint reward flat: {early:.4f} -> {late:.4f}"
+    assert late > 0.0, f"joint policy no better than baseline ({late:.4f})"
+    assert np.mean(entropies[-10:]) < np.mean(entropies[:10]), (
+        "joint entropy did not fall")
+    assert hit_after > max(0.45, hit_before), (
+        f"selector did not learn informative frames: "
+        f"{hit_before:.3f} -> {hit_after:.3f} (chance 0.333)")
+
+
 @pytest.mark.slow
 def test_stage2_ppo_improves_over_random_baseline():
     """Reward = policy-patch confidence - random-patch confidence. After a

@@ -150,6 +150,106 @@ def test_plus_stage3_and_eval(model_state):
     assert 0.0 <= float(m["top1"]) <= 1.0
 
 
+# ---------------------------------------------------------------------------
+# Joint temporal+spatial RL (cfg.plus_rl)
+# ---------------------------------------------------------------------------
+
+
+def test_selector_ac_rollout_semantics():
+    """Sequential selector: no repeated frames, replay-consistency, greedy
+    determinism, masked-categorical logprobs."""
+    from adafocus_tpu.models.gfv_plus import SelectorActorCritic
+
+    b, t, d, k = 3, 6, 8, 4
+    sel = SelectorActorCritic(hidden_dim=8, attn_dim=8, in_dim=d,
+                              dtype=jnp.float32)
+    pooled = jax.random.normal(jax.random.key(0), (b, t, d), jnp.float32)
+    vs = sel.init(jax.random.key(1), pooled, k, jax.random.key(2),
+                  method=SelectorActorCritic.rollout)
+    roll = sel.apply(vs, pooled, k, jax.random.key(3), "sample",
+                     method=SelectorActorCritic.rollout)
+    idx = np.asarray(roll["idx"])
+    assert idx.shape == (b, k)
+    for row in idx:  # without replacement
+        assert len(set(row.tolist())) == k
+    assert np.all(np.isfinite(np.asarray(roll["logprob"])))
+    assert np.all(np.asarray(roll["entropy"]) >= 0)
+
+    # replay under the same params reproduces the behavior logprobs
+    replay = sel.apply(vs, pooled, k, jax.random.key(99), "sample",
+                       roll["idx"], method=SelectorActorCritic.rollout)
+    np.testing.assert_allclose(np.asarray(replay["logprob"]),
+                               np.asarray(roll["logprob"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(replay["idx"]), idx)
+
+    # greedy mode is rng-independent
+    g1 = sel.apply(vs, pooled, k, jax.random.key(4), "top",
+                   method=SelectorActorCritic.rollout)
+    g2 = sel.apply(vs, pooled, k, jax.random.key(5), "top",
+                   method=SelectorActorCritic.rollout)
+    np.testing.assert_array_equal(np.asarray(g1["idx"]), np.asarray(g2["idx"]))
+
+
+def test_plus_rl_forward_and_eval():
+    """plus_rl forward: stage-1 random frame selection (unique frames),
+    eval greedy sequential selection (deterministic)."""
+    cfg = tiny_cfg(plus_rl=True)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    assert "selector_ac" in state.params and "selector" not in state.params
+    batch = make_batch(cfg)
+
+    logits, aux = forward_plus(
+        model, variables, batch["frames_flat"], batch["frames_small"],
+        jax.random.key(1), train=False, patch_mode="random",
+    )
+    assert logits.shape == (2, 6, 5)
+    for row in np.asarray(aux["frame_idx"]):
+        assert len(set(row.tolist())) == cfg.frame_budget
+
+    out1 = inference_plus(model, variables, batch["frames_flat"],
+                          batch["frames_small"], jax.random.key(2))
+    out2 = inference_plus(model, variables, batch["frames_flat"],
+                          batch["frames_small"], jax.random.key(77))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+@pytest.mark.parametrize("reward_mode", ["random", "prev"])
+def test_plus_joint_stage2_step(reward_mode):
+    """Joint temporal+spatial PPO: one jitted step updates BOTH policies
+    (and nothing else), with finite metrics."""
+    from adafocus_tpu.ppo.core import PPOConfig
+    from adafocus_tpu.train.stages_plus import make_plus_stage2_joint_step
+
+    cfg = tiny_cfg(plus_rl=True)
+    model = GFV(cfg)
+    ppo_cfg = PPOConfig(lr=1e-3, reward_mode=reward_mode)
+    state = create_train_state(model, jax.random.key(0), ppo_cfg=ppo_cfg)
+    batch = make_batch(cfg)
+    step = jax.jit(make_plus_stage2_joint_step(model, ppo_cfg))
+    new_state, metrics = step(state, batch, jax.random.key(1))
+
+    def delta(a, b):
+        return max(
+            float(jnp.abs(x - y).max())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert delta(new_state.params["policy"], state.params["policy"]) > 0
+    assert delta(new_state.params["selector_ac"],
+                 state.params["selector_ac"]) > 0
+    assert delta(new_state.params["focuser"], state.params["focuser"]) == 0
+    assert delta(new_state.params["classifier"],
+                 state.params["classifier"]) == 0
+    for v in metrics.values():
+        assert np.isfinite(float(v)), metrics
+    # behavior sync: old params track the update
+    np.testing.assert_allclose(
+        jax.tree.leaves(new_state.ppo.params_old)[0],
+        jax.tree.leaves(new_state.ppo.params)[0])
+
+
 def test_budget_reduces_flops():
     """frame_budget=K must cut focuser work to ~K/T of the full model."""
     from adafocus_tpu.ops.flops import xla_flops
