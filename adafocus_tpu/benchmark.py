@@ -63,12 +63,10 @@ def _inference_fn_q8(model: GFV, seed: int = 0):
     quality story is pinned by tests/test_quant.py on calibrated real
     activations) and closes over them as compile-time constants."""
     from adafocus_tpu.models.quant_inference import (
-        calibrate_gfv, inference_q8, inference_q8_sthsth,
+        calibrate_gfv, inference_q8, inference_q8_plus, inference_q8_sthsth,
     )
 
     cfg = model.cfg
-    if cfg.frame_budget > 0:
-        raise ValueError("int8 serving path does not cover AdaFocus+ yet")
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     k1, k2 = jax.random.split(jax.random.key(seed + 2))
@@ -81,8 +79,12 @@ def _inference_fn_q8(model: GFV, seed: int = 0):
             jnp.float32),
     }
     scales = calibrate_gfv(model, variables, [calib])
-    fam = (inference_q8_sthsth if cfg.classifier == "consensus"
-           else inference_q8)
+    if cfg.frame_budget > 0:
+        fam = inference_q8_plus
+    elif cfg.classifier == "consensus":
+        fam = inference_q8_sthsth
+    else:
+        fam = inference_q8
 
     def fn(params, batch_stats, frames_flat, frames_small, rng):
         variables = {"params": params, "batch_stats": batch_stats}

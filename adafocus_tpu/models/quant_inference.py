@@ -249,6 +249,44 @@ def inference_q8(model, variables, scales, frames_flat, frames_small, rng,
         local.astype(cfg.dtype), train=False)
 
 
+def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
+                      rng, impl: str = "auto"):
+    """int8 deployment forward (AdaFocus+ temporal selection): quantized
+    glance + focus backbones; selector (ST top-K or plus_rl greedy
+    sequential), spatial policy, and classifier stay bf16. Mirrors
+    models/gfv_plus.py ``inference_plus``."""
+    from adafocus_tpu.models.gfv import (
+        GFV, extract_for_frames, fuse_and_classify,
+    )
+    from adafocus_tpu.models.gfv_plus import (
+        gather_frames, scatter_frames, select_topk,
+    )
+
+    cfg = model.cfg
+    b, t = frames_small.shape[:2]
+    k = cfg.frame_budget
+    fmap, pooled = q8_glance(model, variables, scales, frames_small)
+    fmap = fmap.astype(cfg.dtype)
+    pooled = pooled.astype(cfg.dtype)
+    if cfg.plus_rl:
+        sel_roll = model.apply(
+            variables, pooled, rng, "top", method=GFV.select_rollout)
+        idx = sel_roll["idx"]
+    else:
+        scores = model.apply(variables, pooled, method=GFV.frame_scores)
+        idx, _ = select_topk(scores, k, rng, mode="top")
+    fmap_sel = gather_frames(fmap, idx)
+    roll = model.apply(
+        variables, fmap_sel, rng, "greedy", False, method=GFV.policy_rollout)
+    patches = extract_for_frames(
+        gather_frames(frames_flat, idx), roll["actions"], cfg.image_size,
+        cfg.patch_size, impl=impl)
+    local_sel = q8_focus(model, variables, scales, patches).reshape(b, k, -1)
+    local_full = scatter_frames(local_sel.astype(cfg.dtype), idx, t)
+    return fuse_and_classify(model, variables, pooled, local_full,
+                             train=False)
+
+
 def inference_q8_sthsth(model, variables, scales, frames_flat, frames_small,
                         rng, impl: str = "auto"):
     """int8 deployment forward (sth-sth consensus family): quantized TSM

@@ -124,7 +124,7 @@ def main() -> None:
                     ref["latency_s"] * 1000.0 / latency_ms, 1)
             if "gflops" in ref:
                 row["ref_gflops"] = ref["gflops"]
-            if args.int8 and model.cfg.frame_budget == 0:
+            if args.int8:
                 row["videos_per_sec_int8"] = round(
                     time_inference(model, batch=args.batch, inner_iters=inner,
                                    repeats=repeats, mode="int8"), 1)
