@@ -437,16 +437,23 @@ def forward_random(
     actions = random_patch_actions(a_key, (b, t))
 
     updates = {}
+    cur = dict(variables)
 
     def apply(fn_method, *args):
-        nonlocal updates
+        # THREADING INVARIANT: a flax mutable apply returns the FULL
+        # collection (untouched entries included), so each apply must see
+        # the previous apply's result — merging stale full trees would
+        # silently revert earlier updates (the stage-0 glancer-stats bug).
+        nonlocal updates, cur
         if mutable:
             out, upd = model.apply(
-                variables, *args, method=fn_method, mutable=mutable, rngs=rngs
+                cur, *args, method=fn_method, mutable=mutable, rngs=rngs
             )
-            updates = _merge_updates(updates, upd)
+            for k, v in dict(upd).items():
+                updates[k] = dict(v)
+                cur = {**cur, k: dict(v)}
             return out
-        return model.apply(variables, *args, method=fn_method, rngs=rngs)
+        return model.apply(cur, *args, method=fn_method, rngs=rngs)
 
     _, pooled = apply(GFV.glance, frames_small, train)
     patches = extract_for_frames(
@@ -463,14 +470,3 @@ def forward_random(
     return logits
 
 
-def _merge_updates(a: dict, b) -> dict:
-    b = dict(b)
-    out = dict(a)
-    for k, v in b.items():
-        if k in out:
-            merged = dict(out[k])
-            merged.update(dict(v))
-            out[k] = merged
-        else:
-            out[k] = v
-    return out

@@ -223,19 +223,22 @@ def forward_plus(
     sel_key, a_key, rng = jax.random.split(rng, 3)
 
     updates = {}
+    cur = dict(variables)
 
     def apply(method, *args, train_arg=None):
-        nonlocal updates
+        # thread collections between applies: a flax mutable apply returns
+        # the FULL collection, so a later apply's stale copy would clobber
+        # an earlier update (see gfv.forward_random)
+        nonlocal updates, cur
         call_args = args if train_arg is None else args + (train_arg,)
         if mutable:
-            out, upd = model.apply(variables, *call_args, method=method,
+            out, upd = model.apply(cur, *call_args, method=method,
                                    mutable=mutable, rngs=rngs)
             for kk, vv in dict(upd).items():
-                merged = dict(updates.get(kk, {}))
-                merged.update(dict(vv))
-                updates[kk] = merged
+                updates[kk] = dict(vv)
+                cur = {**cur, kk: dict(vv)}
             return out
-        return model.apply(variables, *call_args, method=method, rngs=rngs)
+        return model.apply(cur, *call_args, method=method, rngs=rngs)
 
     # phase 1: glance everything (frozen in stages 1/3)
     fmap, pooled = apply(

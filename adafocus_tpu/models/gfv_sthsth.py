@@ -108,18 +108,21 @@ def forward_random_sthsth(
     a_key, _ = jax.random.split(rng)
 
     updates = {}
+    cur = dict(variables)
 
     def apply(method, *args):
-        nonlocal updates
+        # thread collections between applies: a flax mutable apply returns
+        # the FULL collection, so a later apply's stale copy would clobber
+        # an earlier update (see gfv.forward_random)
+        nonlocal updates, cur
         if mutable:
-            out, upd = model.apply(variables, *args, method=method,
+            out, upd = model.apply(cur, *args, method=method,
                                    mutable=mutable, rngs=rngs)
             for k, v in dict(upd).items():
-                merged = dict(updates.get(k, {}))
-                merged.update(dict(v))
-                updates[k] = merged
+                updates[k] = dict(v)
+                cur = {**cur, k: dict(v)}
             return out
-        return model.apply(variables, *args, method=method, rngs=rngs)
+        return model.apply(cur, *args, method=method, rngs=rngs)
 
     # glancer frozen in stage 1 (reference gfv_net.py:82-84 no_grad)
     _, global_logits = model.apply(

@@ -128,23 +128,33 @@ def make_stage_train_step(
     train_focuser = stage in (0, 1)
 
     def loss_fn(params, state: TrainState, batch, rng):
-        variables = {"params": params, "batch_stats": state.batch_stats}
+        # batch_stats are THREADED through the sequential applies: a flax
+        # mutable apply returns the FULL collection (untouched components
+        # included), so merging independent full trees would let a later
+        # apply's stale copy silently revert an earlier component's update
+        # (stage 0 previously lost every glancer running-stat update this
+        # way).
+        stats = state.batch_stats
         b, t = batch["frames_small"].shape[:2]
         a_key, d_key = jax.random.split(rng)
         rngs = {"dropout": d_key}
 
+        def cur():
+            return {"params": params, "batch_stats": stats}
+
         # --- glance ---
         (fmap, pooled), g_upd = _apply_mut(
-            model, variables, GFV.glance, batch["frames_small"], train_glancer,
+            model, cur(), GFV.glance, batch["frames_small"], train_glancer,
             train=train_glancer, rngs=rngs,
         )
+        stats = _merge_stats(stats, g_upd)
         if not train_glancer:
             fmap = jax.lax.stop_gradient(fmap)
             pooled = jax.lax.stop_gradient(pooled)
 
         # --- actions ---
         if stage == 3:
-            roll = model.apply(variables, fmap, a_key, "greedy", False,
+            roll = model.apply(cur(), fmap, a_key, "greedy", False,
                                method=GFV.policy_rollout)
             actions = jax.lax.stop_gradient(roll["actions"])
         else:
@@ -156,9 +166,10 @@ def make_stage_train_step(
             impl=impl,
         )
         local, f_upd = _apply_mut(
-            model, variables, GFV.focus, patches, train_focuser,
+            model, cur(), GFV.focus, patches, train_focuser,
             train=train_focuser, rngs=rngs,
         )
+        stats = _merge_stats(stats, f_upd)
         if not train_focuser:
             local = jax.lax.stop_gradient(local)
         local = local.reshape(b, t, -1)
@@ -166,11 +177,11 @@ def make_stage_train_step(
         # --- classify ---
         fused = jnp.concatenate([pooled, local], axis=-1).astype(cfg.dtype)
         if cfg.classifier == "gru":
-            logits = model.apply(variables, fused, method=GFV.classify_seq)
+            logits = model.apply(cur(), fused, method=GFV.classify_seq)
             loss = _ce_per_step(logits, batch["labels"])
             final_logits = logits[:, -1]
         else:
-            logp = model.apply(variables, fused, True,
+            logp = model.apply(cur(), fused, True,
                                method=GFV.classify_linear, rngs=rngs)
             loss = -jnp.mean(
                 jnp.take_along_axis(logp, batch["labels"][:, None], axis=-1)
@@ -180,22 +191,21 @@ def make_stage_train_step(
         # --- stage-0 extra heads ---
         if stage == 0:
             gl, gl_upd = _apply_mut(
-                model, variables, GFV.glance_logits, batch["frames_small"], True,
+                model, cur(), GFV.glance_logits, batch["frames_small"], True,
                 train=True, rngs=rngs,
             )
+            stats = _merge_stats(stats, gl_upd)
             loss_g = _ce_per_step(gl[1], batch["labels"])
             fl, fl_upd = _apply_mut(
-                model, variables, GFV.focus_logits, patches, True,
+                model, cur(), GFV.focus_logits, patches, True,
                 train=True, rngs=rngs,
             )
+            stats = _merge_stats(stats, fl_upd)
             fl = fl.reshape(b, t, -1)
             loss_f = _ce_per_step(fl, batch["labels"])
             loss = loss + loss_g + loss_f
-            g_upd = _merge_stats(g_upd, gl_upd)
-            f_upd = _merge_stats(f_upd, fl_upd)
 
-        new_stats = _merge_stats(state.batch_stats, g_upd, f_upd)
-        return loss, (new_stats, final_logits)
+        return loss, (stats, final_logits)
 
     def step(state: TrainState, batch, rng):
         (loss, (new_stats, final_logits)), grads = jax.value_and_grad(

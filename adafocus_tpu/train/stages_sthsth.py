@@ -112,6 +112,8 @@ def make_sthsth_train_step(
             total = sum_consensus(global_logits, local_logits, cfg.with_glancer)
 
         loss = _ce(total, batch["labels"])
+        if stage == 1:  # forward_random_sthsth returns {collection: tree}
+            upd = dict(upd).get("batch_stats", {})
         new_stats = dict(state.batch_stats)
         new_stats.update(dict(upd))
         return loss, (new_stats, total)

@@ -48,6 +48,64 @@ def test_train_then_evaluate_actnet(tmp_path):
 
 
 @pytest.mark.slow
+def test_real_jpeg_pipeline_learns(tmp_path):
+    """Real-data end to end: JPEG frame folders on disk + list files ->
+    native decode -> device augmentation -> stage-0 training -> val.
+    Classes are color-coded (trivially separable), so the run must end
+    well above the 1/3 chance level — this pins the decode/augment/train
+    composition on actual files, not synthetic arrays."""
+    np = pytest.importorskip("numpy")
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    root = tmp_path / "data"
+    frames = root / "frames"
+    frames.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    colors = np.asarray([[200, 40, 40], [40, 200, 40], [40, 40, 200]])
+
+    def write_video(name, label):
+        d = frames / name
+        d.mkdir()
+        for i in range(1, 5):
+            img = np.clip(
+                colors[label][None, None, :]
+                + rng.normal(0, 20, (48, 48, 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(img).save(d / f"image_{i:06d}.jpg")
+
+    train_rows, val_rows = [], []
+    for i in range(24):
+        write_video(f"tr{i}", i % 3)
+        train_rows.append(f"tr{i} 4 {i % 3}")
+    for i in range(12):
+        write_video(f"va{i}", i % 3)
+        val_rows.append(f"va{i} 4 {i % 3}")
+    (root / "train_split.txt").write_text("\n".join(train_rows))
+    (root / "val_split.txt").write_text("\n".join(val_rows))
+
+    ck = str(tmp_path / "ck_real")
+    r = _run("adafocus_tpu.cli.train",
+             TINY + ["run.stage=0", "run.synthetic_data=false",
+                     "run.dataset=minik", f"run.data_root={root}",
+                     "run.epochs=6", "model.num_classes=3",
+                     "model.num_frames=4", "loader.batch_size=4",
+                     "optim.backbone_lr=0.01", "optim.fc_lr=0.01",
+                     f"run.ckpt_dir={ck}"],
+             timeout=1100)
+    assert r.returncode == 0, r.stdout + r.stderr
+    import re
+
+    top1s = [float(m) for m in re.findall(r"val: top1=([0-9.]+)", r.stdout)]
+    assert top1s, r.stdout
+    # early epochs sit at chance while BN running stats converge; the run
+    # must end clearly above the 1/3 chance level (this exact setup
+    # previously exposed the stale-batch-stats bug — tests/test_batchstats)
+    assert max(top1s) > 0.5, (
+        f"real-JPEG pipeline failed to learn color classes: {top1s}")
+
+
+@pytest.mark.slow
 def test_train_sthsth_stage2(tmp_path):
     ck = str(tmp_path / "ck2")
     r = _run("adafocus_tpu.cli.train",
