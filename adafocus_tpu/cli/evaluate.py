@@ -64,6 +64,98 @@ def visualize_policy_patches(model, state, loader, prep, cfg, path, rng):
     save_patch_grid(path, frames, offs, mc.patch_size)
 
 
+def calibrate_from_loader(model, state, loader, prep, cfg, rng, n_batches):
+    """Run n validation batches through the bf16 deployment phases to
+    collect calibration data (glance frames + the patches the greedy
+    policy actually selects), then compute per-unit int8 activation
+    scales (models/quant_inference.calibrate_gfv)."""
+    import numpy as np
+
+    from adafocus_tpu.models.gfv import (
+        GFV, extract_for_frames, glance_policy_actions,
+    )
+    from adafocus_tpu.models.quant_inference import calibrate_gfv
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    mc = model.cfg
+    batches = []
+    it = iter(loader)
+    for i in range(n_batches):
+        try:
+            raw = next(it)
+        except StopIteration:
+            break
+        batch, _, _ = prep(raw, jax.random.fold_in(rng, i))
+        flat = batch["frames_flat"]
+        if mc.classifier == "consensus":
+            from adafocus_tpu.models.gfv_sthsth import (
+                actions_per_frame, glance_division_rollout,
+            )
+
+            _, _, roll = glance_division_rollout(
+                model, variables, batch["frames_small"], rng, mode="greedy")
+            actions = actions_per_frame(roll["actions"], flat.shape[1])
+        elif mc.frame_budget > 0:
+            from adafocus_tpu.models.gfv_plus import gather_frames, select_topk
+
+            fmap, pooled = model.apply(
+                variables, batch["frames_small"], False, method=GFV.glance)
+            if mc.plus_rl:
+                idx = model.apply(
+                    variables, pooled.astype(mc.dtype), rng, "top",
+                    method=GFV.select_rollout)["idx"]
+            else:
+                scores = model.apply(variables, pooled,
+                                     method=GFV.frame_scores)
+                idx, _ = select_topk(scores, mc.frame_budget, rng, mode="top")
+            roll = model.apply(
+                variables, gather_frames(fmap, idx), rng, "greedy", False,
+                method=GFV.policy_rollout)
+            flat = gather_frames(flat, idx)
+            actions = roll["actions"]
+        else:
+            _, _, roll = glance_policy_actions(
+                model, variables, batch["frames_small"], rng, mode="greedy")
+            actions = roll["actions"]
+        patches = extract_for_frames(
+            flat, actions, mc.image_size, mc.patch_size)
+        batches.append({"frames_small": np.asarray(batch["frames_small"],
+                                                   np.float32),
+                        "patches": np.asarray(patches, np.float32)})
+    if not batches:
+        raise SystemExit("run.quantize: no validation batches to calibrate on")
+    return calibrate_gfv(model, variables, batches)
+
+
+def make_eval_step_q8(model, scales, impl: str = "auto"):
+    """Eval step on the int8 PTQ serving forward (any family)."""
+    import jax.numpy as jnp
+
+    from adafocus_tpu.models.quant_inference import (
+        inference_q8, inference_q8_plus, inference_q8_sthsth,
+    )
+    from adafocus_tpu.ops.metrics import topk_accuracy
+
+    cfg = model.cfg
+    if cfg.frame_budget > 0:
+        fam = inference_q8_plus
+    elif cfg.classifier == "consensus":
+        fam = inference_q8_sthsth
+    else:
+        fam = inference_q8
+
+    def step(state, batch, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = fam(model, variables, scales, batch["frames_flat"],
+                     batch["frames_small"], rng, impl=impl)
+        final = logits[:, -1] if logits.ndim == 3 else logits
+        top1, top5 = topk_accuracy(final.astype(jnp.float32),
+                                   batch["labels"])
+        return logits, {"top1": top1, "top5": top5}
+
+    return step
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None)
@@ -92,7 +184,18 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         log("WARNING: run.resume not set — evaluating a fresh init")
 
-    if cfg.run.family == "sthsth":
+    loader = build_loader(cfg, train=False)
+    prep = make_batch_prep(cfg, train=False)
+    if cfg.run.quantize == "int8":
+        scales = calibrate_from_loader(
+            model, state, loader, prep, cfg, jax.random.fold_in(root_key, 1),
+            cfg.run.quantize_batches)
+        log(f"int8 PTQ: calibrated {sum(len(s) for s in scales.values())} "
+            f"activation scales on {cfg.run.quantize_batches} val batches")
+        eval_step = make_eval_step_q8(model, scales)
+    elif cfg.run.quantize:
+        raise SystemExit(f"unknown run.quantize mode {cfg.run.quantize!r}")
+    elif cfg.run.family == "sthsth":
         eval_step = make_sthsth_eval_step(model)
     elif cfg.model.frame_budget > 0:
         from adafocus_tpu.train.stages_plus import make_plus_eval_step
@@ -101,8 +204,6 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     else:
         eval_step = make_eval_step(model)
     eval_step = jax.jit(eval_step)
-    loader = build_loader(cfg, train=False)
-    prep = make_batch_prep(cfg, train=False)
     multi_label = cfg.run.dataset in ("actnet", "fcvid")
     if cfg.run.visualize_patches > 0:
         path = os.path.join(cfg.run.ckpt_dir, "patches.png")

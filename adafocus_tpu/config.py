@@ -52,6 +52,10 @@ class RunConfig:
     num_processes: int = 0        # with coordinator: total process count
     process_id: int = -1          # with coordinator: this process's rank
     visualize_patches: int = 0    # >0: save a patch grid of N videos at eval
+    quantize: str = ""            # 'int8': PTQ serving eval (evaluate CLI;
+                                  # calibrates on quantize_batches val
+                                  # batches, then runs the int8 forward)
+    quantize_batches: int = 4     # calibration batches for run.quantize
 
 
 @dataclasses.dataclass(frozen=True)

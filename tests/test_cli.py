@@ -46,6 +46,15 @@ def test_train_then_evaluate_actnet(tmp_path):
     assert r2.returncode == 0, r2.stdout + r2.stderr
     assert "final: top1=" in r2.stdout
 
+    # int8 PTQ serving eval through the same surface
+    r3 = _run("adafocus_tpu.cli.evaluate",
+              TINY + [f"run.ckpt_dir={tmp_path / 'ev8'}", f"run.resume={ck}",
+                      "run.dataset=actnet", "run.quantize=int8",
+                      "run.quantize_batches=1"])
+    assert r3.returncode == 0, r3.stdout + r3.stderr
+    assert "int8 PTQ: calibrated" in r3.stdout
+    assert "final: top1=" in r3.stdout
+
 
 @pytest.mark.slow
 def test_real_jpeg_pipeline_learns(tmp_path):
