@@ -57,7 +57,7 @@ def _inference_fn(model: GFV, fused: str = "auto"):
     return fn
 
 
-def _inference_fn_q8(model: GFV, seed: int = 0):
+def _inference_fn_q8(model: GFV, state, seed: int = 0):
     """int8-PTQ deployment fn: calibrates activation scales on random
     deployment-shaped data (scale VALUES are irrelevant to throughput; the
     quality story is pinned by tests/test_quant.py on calibrated real
@@ -67,7 +67,6 @@ def _inference_fn_q8(model: GFV, seed: int = 0):
     )
 
     cfg = model.cfg
-    state = create_train_state(model, jax.random.key(seed), batch_size=1)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     k1, k2 = jax.random.split(jax.random.key(seed + 2))
     calib = {
@@ -108,8 +107,8 @@ def time_inference(
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
     data = make_data(cfg, batch)
-    fn = _inference_fn_q8(model, seed) if mode == "int8" else _inference_fn(
-        model)
+    fn = (_inference_fn_q8(model, state, seed) if mode == "int8"
+          else _inference_fn(model))
 
     @jax.jit
     def timed(params, batch_stats, frames_flat, frames_small, rng):

@@ -31,6 +31,7 @@ from adafocus_tpu.models.layers import make_divisible
 from adafocus_tpu.models.mobilenet import _INVERTED_RESIDUAL_CFG
 from adafocus_tpu.models.tsm import temporal_shift
 from adafocus_tpu.ops.fused_blocks import (
+    _relu6,
     fold_bottleneck,
     fold_inv_residual,
     fold_bn,
@@ -124,10 +125,6 @@ def _conv_bn(x, unit: dict, strides: int, act, dtype, groups: int = 1):
     if act is not None:
         y = act(y)
     return y.astype(dtype)
-
-
-def _relu6(x):
-    return jnp.clip(x, 0.0, 6.0)
 
 
 def mobilenet_features_fused(

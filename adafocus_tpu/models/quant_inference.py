@@ -33,7 +33,7 @@ from adafocus_tpu.models.fused_inference import _merge_bn, _subtree
 from adafocus_tpu.models.layers import make_divisible
 from adafocus_tpu.models.mobilenet import _INVERTED_RESIDUAL_CFG
 from adafocus_tpu.models.tsm import temporal_shift
-from adafocus_tpu.ops.fused_blocks import fold_bn
+from adafocus_tpu.ops.fused_blocks import _relu6, fold_bn
 from adafocus_tpu.ops.quant import (
     QConv,
     act_scale_from_absmax,
@@ -41,10 +41,6 @@ from adafocus_tpu.ops.quant import (
     quantize_act,
     quantize_weight,
 )
-
-
-def _relu6(x):
-    return jnp.clip(x, 0.0, 6.0)
 
 
 class _UnitRunner:

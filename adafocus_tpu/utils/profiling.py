@@ -120,13 +120,15 @@ def op_breakdown(log_dir: str) -> Dict[str, Tuple[float, int]]:
 
 
 def _group_key(name: str) -> str:
-    """fusion.123 -> fusion; my_op.4.clone -> my_op. Keeps dotted
-    hierarchy prefixes (jit_fn/region/op) intact up to the op name."""
-    base = name.split("/")[-1]
+    """Strip the per-instance suffix, keep the scope prefix:
+    fusion.123 -> fusion; jit_glance/fusion.7 -> jit_glance/fusion;
+    my_op.4.clone -> my_op — so same-named ops from different jit scopes
+    stay in separate rows."""
+    prefix, sep, base = name.rpartition("/")
     parts = base.split(".")
     while parts and (parts[-1].isdigit() or parts[-1] in ("clone", "remat")):
         parts.pop()
-    return ".".join(parts) or base
+    return prefix + sep + (".".join(parts) or base)
 
 
 def top_ops(

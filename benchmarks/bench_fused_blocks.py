@@ -12,6 +12,7 @@ import functools
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -143,7 +144,7 @@ def main():
         total_f = total_x = 0.0
         for (name, h, cin, chid, cout, stride, use_res, expand) in \
                 mbv2_blocks(size):
-            ks = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31), 7)
+            ks = jax.random.split(jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31), 7)
             x = jax.random.normal(ks[0], (args.n, h, h, cin), dt)
             p = InvResidualParams(
                 w_expand=(jax.random.normal(ks[1], (cin, chid), dt) * 0.1
@@ -170,7 +171,7 @@ def main():
         size = args.size or 96
         total_f = total_x = 0.0
         for (name, h, cin, chid, cout, stride, down) in resnet_blocks(size):
-            ks = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31), 9)
+            ks = jax.random.split(jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31), 9)
             p = BottleneckParams(
                 w1=jax.random.normal(ks[1], (cin, chid), dt) * 0.1,
                 b1=jnp.zeros((1, chid), jnp.float32),
