@@ -55,6 +55,16 @@ def test_train_then_evaluate_actnet(tmp_path):
     assert "int8 PTQ: calibrated" in r3.stdout
     assert "final: top1=" in r3.stdout
 
+    # AOT export of the same checkpoint (serving.py artifact)
+    art = str(tmp_path / "model.stablehlo")
+    r4 = _run("adafocus_tpu.cli.export",
+              ["--path", art, "--batch", "2"]
+              + TINY + [f"run.ckpt_dir={tmp_path / 'exp'}",
+                        f"run.resume={ck}", "run.dataset=actnet"])
+    assert r4.returncode == 0, r4.stdout + r4.stderr
+    assert "exported bf16 artifact" in r4.stdout
+    assert os.path.getsize(art) > 1e6  # weights baked in
+
 
 @pytest.mark.slow
 def test_real_jpeg_pipeline_learns(tmp_path):
