@@ -100,6 +100,24 @@ def test_export_int8(tmp_path):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_export_multi_platform(tmp_path):
+    """Lowering for ('cpu', 'tpu') from a CPU host produces one artifact
+    executable on either backend (runs here on cpu)."""
+    cfg = _tiny_cfg()
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    flat, small = _data(cfg)
+    exp = export_inference(model, variables, batch_size=2,
+                           platforms=("cpu", "tpu"), seed=3)
+    path = str(tmp_path / "multi.stablehlo")
+    save_exported(exp, path)
+    got = load_exported(path)(flat, small)
+    ref = inference(model, variables, flat, small, jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_export_int8_requires_scales():
     cfg = _tiny_cfg()
     model = GFV(cfg)
