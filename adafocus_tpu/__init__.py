@@ -26,11 +26,30 @@ def enable_compilation_cache(cache_dir: str = "") -> None:
     """Turn on JAX's persistent compilation cache so repeated runs (bench
     sweeps, CLI restarts, the driver's checks) skip recompiles. First
     compiles through this environment's tunneled TPU take minutes, so this
-    is a large quality-of-life lever; call before the first jit."""
+    is a large quality-of-life lever; call before the first jit (and after
+    any ``jax_platforms`` override — the decision is platform-keyed).
+
+    The cache is NOT enabled when XLA:CPU is in the platform list:
+    XLA:CPU cache entries are machine-code (AOT) artifacts whose embedded
+    feature list includes tuning pseudo-features (``+prefer-no-scatter``,
+    ``+prefer-no-gather``) that never match the host-feature check on
+    reload — every warm run spams ``cpu_aot_loader ... could lead to
+    execution errors such as SIGILL``, and an entry from a different
+    machine genuinely can SIGILL. Measured here: even a cache written and
+    re-read by the same process on the same machine trips the mismatch.
+    CPU runs (virtual-mesh dryruns, debug) therefore always compile JIT.
+    TPU compiles in the shared dir are serialized HLO keyed by backend, so
+    they are unaffected."""
     import os
 
     import jax
 
+    try:
+        platforms = jax.config.jax_platforms or ""
+    except AttributeError:
+        platforms = ""
+    if "cpu" in platforms:
+        return
     path = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/adafocus_tpu/xla"),

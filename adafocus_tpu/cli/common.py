@@ -44,7 +44,6 @@ def apply_platform(run_cfg) -> None:
     on the persistent compilation cache (restarts skip recompiles)."""
     import adafocus_tpu
 
-    adafocus_tpu.enable_compilation_cache()
     if run_cfg.host_devices:
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (
@@ -53,6 +52,10 @@ def apply_platform(run_cfg) -> None:
         ).strip()
     if run_cfg.platform:
         jax.config.update("jax_platforms", run_cfg.platform)
+    # after the platform override: the persistent cache dir is
+    # platform-keyed (CPU artifacts are machine-specific, see
+    # adafocus_tpu._cpu_cache_key)
+    adafocus_tpu.enable_compilation_cache()
     if getattr(run_cfg, "multihost", False):
         # multi-host slice: one process per host (replaces the reference's
         # TCP rendezvous, main_dist.py:47-48,73-80). Coordinator is
@@ -136,7 +139,12 @@ def build_loader(cfg: ExperimentConfig, train: bool) -> VideoLoader:
         )
         records = parse_list_file(list_file, dataset=run.dataset)
         source = FrameFolderSource(frames_root, spec.image_tmpl)
-    return VideoLoader(records, source, loader_cfg)
+    loader = VideoLoader(records, source, loader_cfg)
+    if loader_cfg.cache:
+        from adafocus_tpu.data.cache import maybe_cache
+
+        loader = maybe_cache(loader, loader_cfg.cache)
+    return loader
 
 
 def make_batch_prep(cfg: ExperimentConfig, train: bool) -> Callable:

@@ -127,6 +127,96 @@ def calibrate_from_loader(model, state, loader, prep, cfg, rng, n_batches):
     return calibrate_gfv(model, variables, batches)
 
 
+def make_eval_step_forced(model, mode: str):
+    """Eval step with the patch policy OVERRIDDEN: 'random' / 'center'
+    patches, or 'oracle' patches from ground-truth target tracks supplied
+    per batch (batch['actions']). These bracket the learned policy's
+    accuracy from below and above — the policy-quality evidence the
+    reference never measures (it has only the random training baseline,
+    actnet/models/gfv_net.py:334-336)."""
+    import jax.numpy as jnp
+
+    from adafocus_tpu.models.gfv import inference_with_actions
+    from adafocus_tpu.ops.metrics import topk_accuracy
+    from adafocus_tpu.ops.patch import random_patch_actions
+
+    cfg = model.cfg
+    consensus = cfg.classifier == "consensus"
+    if cfg.frame_budget > 0:
+        raise SystemExit(
+            "run.eval_policy overrides are not defined for AdaFocus+ "
+            "frame-budget models")
+
+    def step(state, batch, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        b = batch["frames_small"].shape[0]
+        n = cfg.video_div if consensus else batch["frames_small"].shape[1]
+        if mode == "random":
+            actions = random_patch_actions(rng, (b, n))
+        elif mode == "center":
+            actions = jnp.full((b, n, 2), 0.5, jnp.float32)
+        else:  # oracle: ground-truth actions attached by the prep wrapper
+            actions = batch["actions"]
+        if consensus:
+            from adafocus_tpu.models.gfv_sthsth import (
+                inference_sthsth_with_actions,
+            )
+
+            logits = inference_sthsth_with_actions(
+                model, variables, batch["frames_flat"],
+                batch["frames_small"], actions)
+        else:
+            logits = inference_with_actions(
+                model, variables, batch["frames_flat"],
+                batch["frames_small"], actions)
+        final = logits[:, -1] if logits.ndim == 3 else logits
+        top1, top5 = topk_accuracy(final.astype(jnp.float32),
+                                   batch["labels"])
+        return logits, {"top1": top1, "top5": top5}
+
+    return step
+
+
+def build_oracle_table(cfg, loader) -> "np.ndarray":
+    """(num_records, T, 2) ground-truth patch actions aligned with the val
+    loader's record order, from the dataset's gt.npz (run.oracle_gt). Uses
+    the same deterministic center-of-segment sampling as val mode."""
+    import numpy as np
+
+    from adafocus_tpu.data.miniact import load_gt, oracle_actions
+    from adafocus_tpu.data.sampling import sample_segment_indices
+
+    paths, centers, presence = load_gt(cfg.run.oracle_gt)
+    row = {p: i for i, p in enumerate(paths)}
+    records = loader.records
+    lcfg = loader.cfg
+    if lcfg.dense_sample or lcfg.twice_sample:
+        raise SystemExit("eval_policy=oracle does not support multi-clip "
+                         "sampling")
+    mc = cfg.model
+    t = mc.t_focuser
+    out = np.empty((len(records), t, 2), np.float32)
+    for i, rec in enumerate(records):
+        r = row[rec.path]
+        idx = sample_segment_indices(rec.num_frames, t, mode="val") - 1
+        out[i] = oracle_actions(
+            centers[r][idx], presence[r][idx], lcfg.canvas_size,
+            mc.image_size, mc.patch_size,
+        )
+    if mc.classifier == "consensus":
+        # one action per division: mean of the present frames' targets
+        d = mc.video_div
+        pres = np.stack([presence[row[rec.path]][
+            sample_segment_indices(rec.num_frames, t, mode="val") - 1]
+            for rec in records]).reshape(len(records), d, t // d, 1)
+        div = out.reshape(len(records), d, t // d, 2)
+        w = np.maximum(pres.sum(axis=2), 1e-6)
+        out = np.where(
+            pres.any(axis=2), (div * pres).sum(axis=2) / w,
+            np.float32(0.5))
+    return out
+
+
 def make_eval_step_q8(model, scales, impl: str = "auto"):
     """Eval step on the int8 PTQ serving forward (any family)."""
     import jax.numpy as jnp
@@ -156,7 +246,7 @@ def make_eval_step_q8(model, scales, impl: str = "auto"):
     return step
 
 
-def main(argv: Optional[Sequence[str]] = None) -> None:
+def main(argv: Optional[Sequence[str]] = None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None)
     ap.add_argument("overrides", nargs="*")
@@ -186,7 +276,31 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     loader = build_loader(cfg, train=False)
     prep = make_batch_prep(cfg, train=False)
-    if cfg.run.quantize == "int8":
+    policy_mode = cfg.run.eval_policy
+    if policy_mode not in ("learned", "random", "center", "oracle"):
+        raise SystemExit(f"unknown run.eval_policy {policy_mode!r}")
+    if policy_mode != "learned" and cfg.run.quantize:
+        raise SystemExit("run.eval_policy overrides cannot combine with "
+                         "run.quantize")
+    if policy_mode == "oracle":
+        if not cfg.run.oracle_gt:
+            raise SystemExit("eval_policy=oracle needs run.oracle_gt")
+        import jax.numpy as jnp
+
+        table = jnp.asarray(build_oracle_table(cfg, loader))
+        base_prep = prep
+
+        def prep(raw, rng, _bp=base_prep, _tbl=table):
+            batch, labels, k = _bp(raw, rng)
+            if k != 1:
+                raise SystemExit("oracle eval does not support multi-clip")
+            batch["actions"] = _tbl[jnp.asarray(raw["record_index"])]
+            return batch, labels, k
+
+        log(f"oracle actions table built for {table.shape[0]} videos")
+    if policy_mode != "learned":
+        eval_step = make_eval_step_forced(model, policy_mode)
+    elif cfg.run.quantize == "int8":
         scales = calibrate_from_loader(
             model, state, loader, prep, cfg, jax.random.fold_in(root_key, 1),
             cfg.run.quantize_batches)
@@ -214,6 +328,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                        jax.random.fold_in(root_key, 0x7FFFFFFF),
                        anytime=cfg.run.anytime_eval)
     log("final: " + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
+    return results
 
 
 if __name__ == "__main__":

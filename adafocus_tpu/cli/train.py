@@ -168,7 +168,7 @@ def validate(state, eval_step, loader, prep, log, multi_label: bool,
     return out
 
 
-def main(argv: Optional[Sequence[str]] = None) -> None:
+def main(argv: Optional[Sequence[str]] = None) -> dict:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("overrides", nargs="*", help="section.key=value")
@@ -279,6 +279,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     guard.finalize(lambda: ckpt.save_checkpoint(
         cfg.run.ckpt_dir, jax.device_get(state), epoch, best_acc, best_acc))
     log(f"done. best acc {best_acc:.4f}")
+    return {"best_acc": best_acc}
 
 
 if __name__ == "__main__":

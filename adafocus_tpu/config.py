@@ -52,6 +52,11 @@ class RunConfig:
     num_processes: int = 0        # with coordinator: total process count
     process_id: int = -1          # with coordinator: this process's rank
     visualize_patches: int = 0    # >0: save a patch grid of N videos at eval
+    eval_policy: str = "learned"  # evaluate CLI patch-policy override:
+                                  # 'learned' | 'random' | 'center' |
+                                  # 'oracle' (needs oracle_gt)
+    oracle_gt: str = ""           # gt.npz with per-video target tracks
+                                  # (data/miniact.py layout)
     quantize: str = ""            # 'int8': PTQ serving eval (evaluate CLI;
                                   # calibrates on quantize_batches val
                                   # batches, then runs the int8 forward)

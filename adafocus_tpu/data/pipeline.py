@@ -44,6 +44,8 @@ class LoaderConfig:
                                     # hosts where one interpreter's Python-
                                     # side work caps the thread pool
     prefetch: int = 2
+    cache: str = ""                 # '' stream | 'host' RAM | 'device' HBM
+                                    # decode-once caching (data/cache.py)
     seed: int = 1007
     host_id: int = 0                # this host's index in the slice
     num_hosts: int = 1
@@ -290,6 +292,9 @@ class VideoLoader:
             out = {
                 k: np.stack([v[k] for v in videos]) for k in videos[0]
             }
+            # positions in self.records — lets eval align per-video side
+            # tables (e.g. oracle ground-truth actions) with batches
+            out["record_index"] = np.asarray(batch_indices, np.int32)
             return out
 
         with concurrent.futures.ThreadPoolExecutor(cfg.num_workers) as tpool, \

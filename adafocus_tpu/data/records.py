@@ -69,7 +69,8 @@ def parse_list_file(
     path containing the separator are re-joined (dataset.py:96-97). Rows
     with fewer than ``min_frames`` frames are dropped (dataset.py:104-105).
     """
-    sep = {"actnet": ",", "fcvid": ",", "kinetics": ";"}.get(dataset)
+    sep = {"actnet": ",", "fcvid": ",", "kinetics": ";",
+           "miniact": ","}.get(dataset)
     records = []
     with open(list_file) as f:
         for line in f:
@@ -109,6 +110,8 @@ _REGISTRY = {
     "minik": DatasetSpec("minik", 200, "image_{:06d}.jpg", multi_label=False),
     "somethingv1": DatasetSpec("somethingv1", 174, "{:05d}.jpg", multi_label=False),
     "somethingv2": DatasetSpec("somethingv2", 174, "{:06d}.jpg", multi_label=False),
+    # generated accuracy-parity proxy benchmark (data/miniact.py)
+    "miniact": DatasetSpec("miniact", 50, "image_{:06d}.jpg", multi_label=False),
 }
 
 

@@ -424,6 +424,30 @@ def inference(
     return fuse_and_classify(model, variables, pooled, local, train=False)
 
 
+def inference_with_actions(
+    model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
+    actions: jax.Array, impl: str = "auto",
+) -> jax.Array:
+    """Deployment forward with EXTERNALLY SUPPLIED patch actions — the
+    policy is bypassed. Powers the policy-quality baselines (random /
+    center / ground-truth-oracle patches) that bracket the learned policy
+    in accuracy evaluations; the reference has the random variant only
+    (random_patching, actnet/models/gfv_net.py:334-336).
+
+    actions: (B, T, 2) in [0, 1]^2. Returns per-step logits like
+    ``inference``.
+    """
+    cfg = model.cfg
+    b, t = frames_small.shape[:2]
+    _, pooled = model.apply(variables, frames_small, False, method=GFV.glance)
+    patches = extract_for_frames(
+        frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl
+    )
+    local = model.apply(variables, patches, method=GFV.focus)
+    local = local.reshape(b, t, -1)
+    return fuse_and_classify(model, variables, pooled, local, train=False)
+
+
 def forward_random(
     model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
     rng: jax.Array, train: bool = True, impl: str = "auto", mutable=False,

@@ -182,6 +182,27 @@ def inference_sthsth(
     return sum_consensus(global_logits, local_logits, cfg.with_glancer)
 
 
+def inference_sthsth_with_actions(
+    model: GFV, variables, frames_flat: jax.Array, frames_small: jax.Array,
+    actions_div: jax.Array, impl: str = "auto",
+) -> jax.Array:
+    """Deployment forward with EXTERNALLY SUPPLIED per-division actions
+    (B, D, 2) — bypasses the policy. Powers the random/center/oracle
+    policy-quality baselines (the reference has random only:
+    sthsth/models/gfv_net.py:415-419)."""
+    cfg = model.cfg
+    b, tf = frames_flat.shape[:2]
+    _, global_logits = model.apply(
+        variables, frames_small, False, method=GFV.glance_logits
+    )
+    actions = actions_per_frame(actions_div, tf)
+    patches = extract_for_frames(
+        frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl
+    )
+    local_logits = local_frame_logits(model, variables, patches, b)
+    return sum_consensus(global_logits, local_logits, cfg.with_glancer)
+
+
 def divisional_confidences(
     local_logits: jax.Array,
     random_logits: jax.Array,

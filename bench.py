@@ -1,15 +1,21 @@
 """Throughput benchmark: flagship two-phase inference, videos/sec/chip.
 
-Prints ONE JSON line. vs_baseline compares against the reference's best
-published GPU throughput, 143.8 videos/s (AdaFocus-TSM 144^2, batch 64, RTX
-2080Ti — BASELINE.md); our flagship here is the ActivityNet configuration
-at the reference's published operating point (16 frames, 224^2 glance +
-96^2 patches, MobileNetV2+ResNet-50+GRU, bf16, ~17 GF/video like the
-reference's actnet-96 row). The full BASELINE-format sweep (both families,
-every patch size, analytic GFLOPs/video) lives in
-benchmarks/run_benchmarks.py.
+Prints ONE JSON line. Two comparisons against the reference are emitted,
+because the reference never published a GPU throughput for the ActivityNet
+configuration (BASELINE.md):
 
-See adafocus_tpu/benchmark.py for the timing methodology (in-dispatch
+- ``vs_baseline`` — the flagship ActivityNet config (16 frames, 224^2
+  glance + 96^2 patches, MobileNetV2+ResNet-50+GRU, bf16, ~17 GF/video)
+  divided by the reference's best published GPU throughput, 143.8 videos/s
+  (AdaFocus-TSM 144^2, batch 64, RTX 2080Ti). This is a CROSS-CONFIG ratio:
+  our ~17 GF/video actnet program vs their 23.5 GF/video sth-sth program.
+- ``matched_config`` — the sth-sth 144^2 configuration (8+12 frames,
+  TSM MobileNetV2 + TSM ResNet-50, avg consensus) measured HERE and
+  divided by that same 143.8 videos/s: the apples-to-apples ratio.
+
+The full BASELINE-format sweep (both families, every patch size, analytic
+GFLOPs/video) lives in benchmarks/run_benchmarks.py. See
+adafocus_tpu/benchmark.py for the timing methodology (in-dispatch
 fori_loop with a loop-carried dependency; scalar fetch forces completion).
 """
 
@@ -32,13 +38,40 @@ def main():
         _flagship(), batch=batch, inner_iters=inner_iters, repeats=repeats
     )
 
-    baseline = 143.8  # reference GPU videos/s (BASELINE.md)
-    print(json.dumps({
+    baseline = 143.8  # reference's best published GPU videos/s (BASELINE.md)
+    out = {
         "metric": f"videos/sec/chip (ActivityNet flagship, B={batch}, T=16, bf16)",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / baseline, 3),
-    }))
+        "vs_baseline_kind": (
+            "cross-config: actnet-96 (~17 GF/video) vs reference's best "
+            "published GPU number, sth-sth-144 143.8 v/s on 2080Ti "
+            "(23.5 GF/video); see matched_config for apples-to-apples"
+        ),
+    }
+
+    if os.environ.get("BENCH_MATCHED", "1") != "0":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from run_benchmarks import sthsth_cfg
+
+        from adafocus_tpu.models.gfv import GFV
+
+        matched_vps = time_inference(
+            GFV(sthsth_cfg(144)), batch=batch,
+            inner_iters=inner_iters, repeats=repeats,
+        )
+        out["matched_config"] = {
+            "metric": f"videos/sec/chip (Sth-Sth 144^2, 8+12 frames, B={batch}, bf16)",
+            "value": round(matched_vps, 2),
+            "unit": "videos/s",
+            "vs_ref_gpu_same_config": round(matched_vps / baseline, 3),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
