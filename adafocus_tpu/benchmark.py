@@ -107,17 +107,30 @@ def time_inference(
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
     data = make_data(cfg, batch)
-    fn = (_inference_fn_q8(model, state, seed) if mode == "int8"
-          else _inference_fn(model))
+    if mode == "int8":
+        # serving transport format: frames move through HBM as int8 (half
+        # the extraction DMA), dequantized inside the backbone stems
+        from adafocus_tpu.ops.quant import quantize_frames
+
+        data = {k: quantize_frames(v) for k, v in data.items()}
+        fn = _inference_fn_q8(model, state, seed)
+    else:
+        fn = _inference_fn(model)
 
     @jax.jit
     def timed(params, batch_stats, frames_flat, frames_small, rng):
         def body(i, carry):
             small, acc = carry
             logits = fn(params, batch_stats, frames_flat, small, rng)
-            eps = jnp.mean(logits).astype(small.dtype) * jnp.asarray(
-                1e-12, small.dtype)
-            return small + eps, acc + jnp.mean(logits).astype(jnp.float32)
+            m = jnp.mean(logits)
+            if jnp.issubdtype(small.dtype, jnp.floating):
+                eps = m.astype(small.dtype) * jnp.asarray(1e-12, small.dtype)
+            else:
+                # int8 transport: a value-dependent zero (XLA preserves NaN
+                # semantics, so isnan(m) cannot be folded away) keeps the
+                # loop-carried dependency without changing the data
+                eps = jnp.where(jnp.isnan(m), 1, 0).astype(small.dtype)
+            return small + eps, acc + m.astype(jnp.float32)
 
         _, acc = jax.lax.fori_loop(
             0, inner_iters, body, (frames_small, jnp.float32(0.0))

@@ -235,9 +235,15 @@ def make_eval_step_q8(model, scales, impl: str = "auto"):
         fam = inference_q8
 
     def step(state, batch, rng):
+        from adafocus_tpu.ops.quant import quantize_frames
+
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        logits = fam(model, variables, scales, batch["frames_flat"],
-                     batch["frames_small"], rng, impl=impl)
+        # serving transport format: frames/patches move as int8 (half the
+        # extraction DMA) — the accuracy this step measures is exactly what
+        # the benchmarked int8 path serves
+        logits = fam(model, variables, scales,
+                     quantize_frames(batch["frames_flat"]),
+                     quantize_frames(batch["frames_small"]), rng, impl=impl)
         final = logits[:, -1] if logits.ndim == 3 else logits
         top1, top5 = topk_accuracy(final.astype(jnp.float32),
                                    batch["labels"])

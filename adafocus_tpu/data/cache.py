@@ -60,20 +60,70 @@ class CachedVideoLoader:
         if self._frames is not None:
             return
         cfg = self.cfg
-        src = self.inner.source
-        all_idx = np.arange(1, self._t_stored + 1)
-        first = self._load_all(src, self.records[0], all_idx, cfg.canvas_size)
-        frames = np.empty(
-            (len(self.records),) + first.shape, np.uint8)
-        frames[0] = first
-        for i, rec in enumerate(self.records[1:], start=1):
-            frames[i] = self._load_all(src, rec, all_idx, cfg.canvas_size)
+        frames = self._load_memoized()
+        if frames is None:
+            src = self.inner.source
+            all_idx = np.arange(1, self._t_stored + 1)
+            first = self._load_all(
+                src, self.records[0], all_idx, cfg.canvas_size)
+            frames = np.empty(
+                (len(self.records),) + first.shape, np.uint8)
+            frames[0] = first
+            for i, rec in enumerate(self.records[1:], start=1):
+                frames[i] = self._load_all(src, rec, all_idx, cfg.canvas_size)
+            self._save_memoized(frames)
         if self.device:
             import jax
 
             self._frames = jax.device_put(frames)
         else:
             self._frames = frames
+
+    # -- decoded-cache disk memoization --------------------------------------
+    #
+    # Recipe harnesses run each training stage as its own process; without
+    # memoization every process re-decodes the full dataset (minutes on a
+    # 1-core host). The decoded (N, T, S, S, 3) uint8 array round-trips
+    # through one .npy beside the dataset, keyed by record count / frame
+    # count / canvas so layout changes invalidate it.
+
+    def _memo_path(self) -> str:
+        import os
+
+        cfg = self.cfg
+        root = getattr(self.inner.source, "root", "")
+        name = (f".decoded_{cfg.mode}_{len(self.records)}x{self._t_stored}"
+                f"_c{cfg.canvas_size}.npy")
+        return os.path.join(root, name) if root and os.path.isdir(root) else ""
+
+    def _load_memoized(self):
+        import os
+
+        path = self._memo_path()
+        if not path or not os.path.exists(path):
+            return None
+        try:
+            arr = np.load(path, mmap_mode=None)
+        except Exception:
+            return None
+        want = (len(self.records), self._t_stored)
+        if arr.shape[:2] != want or arr.dtype != np.uint8:
+            return None
+        return arr
+
+    def _save_memoized(self, frames: np.ndarray) -> None:
+        import os
+
+        path = self._memo_path()
+        if not path:
+            return
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, frames)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # read-only dataset dir / no space: stay un-memoized
 
     @staticmethod
     def _load_all(src, record, indices, canvas) -> np.ndarray:

@@ -200,6 +200,7 @@ def calibrate_gfv(model, variables, batches) -> Dict[str, Dict[str, jax.Array]]:
         "focuser": calibrate_backbone(
             "resnet", _subtree(variables, "focuser"), f_batches,
             n_frames=cfg.t_focuser if cfg.tsm else 0, dtype=cfg.dtype),
+        "heads": calibrate_heads(model, variables, batches),
     }
 
 
@@ -221,25 +222,299 @@ def q8_focus(model, variables, scales, patches):
     return pooled
 
 
+# ---------------------------------------------------------------------------
+# int8 phase 2: quantized policy / classifier heads + int8 frame transport.
+#
+# The backbone convs above left the GRUs (classifier + policy), the state
+# encoder, the FC heads, and the patch DMA in bf16 — diluting the measured
+# 1.45x conv-level int8 uplift to 1.17-1.20x end to end (PERF.md). This
+# section closes that: every head matmul runs int8 on the MXU with f32
+# requantize epilogues, and frames/patches can move through HBM as int8
+# (half the extraction DMA traffic), dequantized inside the backbone stems.
+# The reference has no analog (fp32/AMP only).
+# ---------------------------------------------------------------------------
+
+
+class _HeadRunner:
+    """Dense/GRU analog of ``_UnitRunner``: with ``scales=None`` runs the
+    f32 reference math recording each quantization point's input abs-max;
+    with a scales dict runs int8 MXU matmuls (per-output-channel int8
+    weights, per-tensor calibrated activations, f32 epilogues)."""
+
+    def __init__(self, scales: Optional[Dict[str, jax.Array]]):
+        self.scales = scales
+        self.absmax: Dict[str, jax.Array] = {}
+
+    def _see(self, name: str, x: jax.Array) -> None:
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        prev = self.absmax.get(name)
+        self.absmax[name] = a if prev is None else jnp.maximum(prev, a)
+
+    def dense(self, name, x, kernel, bias, act=None):
+        """(..., in) @ (in, out); quantization point = the input tensor."""
+        if self.scales is None or name not in self.scales:
+            if self.scales is None:
+                self._see(name, x)
+            y = x.astype(jnp.float32) @ kernel.astype(jnp.float32)
+        else:
+            kq, ws = quantize_weight(kernel)
+            s = self.scales[name]
+            y = jnp.dot(
+                quantize_act(x, s), kq, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s * ws)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return act(y) if act is not None else y
+
+    def gru(self, name, p, h0, xs_tb):
+        """torch-parity GRU over (T, B, in) -> per-step hiddens (T, B, H).
+
+        The input projection runs as ONE batched int8 matmul over all
+        timesteps (the TPU fast path of models/gru.py ``scan_time``); only
+        the (H, 3H) recurrence scans, with the carried hidden re-quantized
+        each step against its own calibrated scale (``{name}/h``)."""
+        from adafocus_tpu.models.gru import _gates
+
+        gi = self.dense(f"{name}/x", xs_tb, p["wi"], p["bi"])
+        bh = p["bh"].astype(jnp.float32)
+        hname = f"{name}/h"
+        if self.scales is None or hname not in self.scales:
+            wh = p["wh"].astype(jnp.float32)
+
+            def step(carry, gi_t):
+                h, amax = carry
+                h2 = _gates(gi_t, h, h @ wh + bh)
+                return (h2, jnp.maximum(amax, jnp.max(jnp.abs(h2)))), h2
+
+            (_, amax), hs = jax.lax.scan(step, (h0, jnp.float32(0.0)), gi)
+            if self.scales is None:
+                prev = self.absmax.get(hname)
+                self.absmax[hname] = (
+                    amax if prev is None else jnp.maximum(prev, amax))
+            return hs
+        whq, whs = quantize_weight(p["wh"])
+        s_h = self.scales[hname]
+
+        def step(h, gi_t):
+            gh = jnp.dot(
+                quantize_act(h, s_h), whq, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_h * whs) + bh
+            h2 = _gates(gi_t, h, gh)
+            return h2, h2
+
+        _, hs = jax.lax.scan(step, h0, gi)
+        return hs
+
+
+def _q8_encode(runner, policy_params, policy_stats, fmap, cfg):
+    """Quantized StateEncoder (models/policy.py:46-73): 1x1-conv (as a
+    channel matmul, BN folded when present) + flatten + fc, or the MLP
+    pool variant. fmap: (N, h, w, C) -> (N, feat_dim)."""
+    enc = policy_params["encoder"]
+    if "proj" in enc:
+        kernel = enc["proj"]["kernel"]
+        k2 = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+        if "bn" in enc:
+            bn = dict(enc["bn"])
+            bn.update(dict(policy_stats.get("encoder", {}).get("bn", {})))
+            k2, bias = fold_bn(k2, bn)
+        else:
+            bias = enc["proj"].get("bias")
+        x = runner.dense("policy/proj", fmap, k2, bias, act=jax.nn.relu)
+        x = x.reshape(x.shape[0], -1)
+    else:
+        x = jnp.mean(fmap.astype(jnp.float32), axis=(1, 2))
+    return runner.dense(
+        "policy/fc", x, enc["fc"]["kernel"], enc["fc"]["bias"],
+        act=jax.nn.relu)
+
+
+def q8_policy_states(model, variables, head_scales, fmaps_tb):
+    """Quantized ActorCritic.rollout_states (models/policy.py:132-154).
+
+    fmaps_tb: (T, B, gh, gw, C) time-major glance maps (actnet) or
+    (D, B, gh, gw, C*Tg/D) division-stacked maps (sth-sth). Returns
+    (hiddens (T,B,H), actor_out (T,B,K|2), value (T,B), runner)."""
+    cfg = model.cfg
+    runner = _HeadRunner(head_scales)
+    p = variables["params"]["policy"]
+    stats = dict(variables.get("batch_stats", {})).get("policy", {})
+    t, b = fmaps_tb.shape[:2]
+    flat = fmaps_tb.reshape((t * b,) + fmaps_tb.shape[2:])
+    states = _q8_encode(runner, p, stats, flat, cfg).reshape(t, b, -1)
+    h0 = jnp.zeros((b, p["gru"]["wh"].shape[0]), jnp.float32)
+    hs = runner.gru("policy/gru", p["gru"], h0, states)
+    actor = runner.dense(
+        "policy/actor", hs, p["actor"]["kernel"], p["actor"]["bias"])
+    if cfg.continuous_policy:
+        actor = jax.nn.sigmoid(actor)
+    value = runner.dense(
+        "policy/critic", hs, p["critic"]["kernel"], p["critic"]["bias"]
+    )[..., 0]
+    return hs, actor, value, runner
+
+
+def q8_policy_rollout(model, variables, head_scales, fmap, rng,
+                      mode: str = "greedy", div: bool = False):
+    """Quantized GFV.policy_rollout / policy_rollout_div: returns the same
+    actions dict as models/gfv.py:189-239."""
+    from adafocus_tpu.models.policy import sample_rollout
+
+    cfg = model.cfg
+    if div:
+        b, tg = fmap.shape[:2]
+        d = cfg.video_div
+        gh, gw, c = fmap.shape[2:]
+        fmap = jnp.moveaxis(
+            fmap.reshape(b, d, tg // d, gh, gw, c), 2, 4
+        ).reshape(b, d, gh, gw, (tg // d) * c)
+    xs = jnp.swapaxes(fmap, 0, 1)
+    _, actor_out, value, runner = q8_policy_states(
+        model, variables, head_scales, xs)
+    actions, idx, logprob = sample_rollout(
+        actor_out, rng, mode, cfg.continuous_policy, cfg.action_dim,
+        cfg.action_std)
+    return {
+        "actions": jnp.swapaxes(actions, 0, 1).astype(jnp.float32),
+        "action_idx": jnp.swapaxes(idx, 0, 1),
+        "logprob": jnp.swapaxes(logprob, 0, 1).astype(jnp.float32),
+        "value": jnp.swapaxes(value, 0, 1).astype(jnp.float32),
+    }, runner
+
+
+def q8_classify_gru(model, variables, head_scales, pooled, local):
+    """Quantized fuse_and_classify for the GRU family (models/gfv.py:
+    336-350): fused features -> int8 GRU scan -> int8 FC, per-step logits
+    (B, T, classes)."""
+    runner = _HeadRunner(head_scales)
+    p = variables["params"]["classifier"]
+    fused = jnp.concatenate(
+        [pooled.astype(jnp.float32), local.astype(jnp.float32)], axis=-1)
+    xs = jnp.swapaxes(fused, 0, 1)
+    h0 = jnp.zeros((fused.shape[0], p["gru"]["wh"].shape[0]), jnp.float32)
+    hs = runner.gru("cls/gru", p["gru"], h0, xs)
+    logits = runner.dense("cls/fc", hs, p["fc"]["kernel"], p["fc"]["bias"])
+    return jnp.swapaxes(logits, 0, 1), runner
+
+
+def q8_frame_logits(model, variables, head_scales, feats, which: str):
+    """Quantized per-frame FC heads: the sth-sth consensus local head
+    (classifier/fc, dropout inactive at eval) or the glancer's own
+    classifier. feats: (..., D) -> (..., classes)."""
+    runner = _HeadRunner(head_scales)
+    if which == "local":
+        p = variables["params"]["classifier"]["fc"]
+        name = "cls/fc"
+    else:
+        p = variables["params"]["glancer"]["classifier"]
+        name = "glancer/fc"
+    return runner.dense(name, feats, p["kernel"], p["bias"]), runner
+
+
+def _dequant_frames(frames, dtype):
+    """int8-transport frames -> compute dtype (XLA fuses the convert +
+    scale into the consuming stem conv). Passthrough for float inputs."""
+    from adafocus_tpu.ops.quant import FRAME_SCALE
+
+    if frames.dtype == jnp.int8:
+        return frames.astype(dtype) * jnp.asarray(FRAME_SCALE, dtype)
+    return frames
+
+
+def calibrate_heads(model, variables, batches) -> Dict[str, jax.Array]:
+    """Record-mode pass over the deployment head path: glance fmaps ->
+    policy rollout, focus features -> classifier, collecting per-point
+    input abs-maxes. batches: the ``calibrate_gfv`` dicts. Returns
+    {point_name: f32 scale}."""
+    cfg = model.cfg
+
+    def collect(variables, frames_small, patches):
+        b, t = frames_small.shape[:2]
+        flat = frames_small.reshape((b * t,) + frames_small.shape[2:])
+        fmap, pooled, _ = _run_backbone(
+            "mbv2", _subtree(variables, "glancer"), flat.astype(cfg.dtype),
+            None, n_frames=cfg.num_frames if cfg.tsm else 0)
+        fmap = fmap.reshape((b, t) + fmap.shape[1:])
+        pooled = pooled.reshape(b, t, -1)
+        _, _, _, runner = q8_policy_states(
+            model, variables, None,
+            _div_stack(fmap.astype(jnp.float32), cfg.video_div)
+            if cfg.classifier == "consensus"
+            else jnp.swapaxes(fmap.astype(jnp.float32), 0, 1))
+        absmax = dict(runner.absmax)
+        _, local, _ = _run_backbone(
+            "resnet", _subtree(variables, "focuser"),
+            patches.astype(cfg.dtype), None,
+            n_frames=cfg.t_focuser if cfg.tsm else 0)
+        tf = local.shape[0] // b
+        local = local.reshape(b, tf, -1)
+        if cfg.classifier == "gru":
+            _, crunner = q8_classify_gru(
+                model, variables, None, pooled[:, :tf], local)
+            absmax.update(crunner.absmax)
+        elif cfg.classifier == "consensus":
+            _, crunner = q8_frame_logits(
+                model, variables, None, local, "local")
+            absmax.update(crunner.absmax)
+            _, grunner = q8_frame_logits(
+                model, variables, None, pooled, "glancer")
+            absmax.update(grunner.absmax)
+        return absmax
+
+    jitted = jax.jit(collect)
+    running: Dict[str, float] = {}
+    for b in batches:
+        absmax = jax.device_get(
+            jitted(variables, b["frames_small"], b["patches"]))
+        for k, v in absmax.items():
+            running[k] = max(running.get(k, 0.0), float(v))
+    return {k: jnp.float32(act_scale_from_absmax(jnp.float32(v)))
+            for k, v in running.items()}
+
+
+def _div_stack(fmap, d):
+    """(B, Tg, gh, gw, C) -> time-major division-stacked (D, B, gh, gw,
+    C*Tg/D) — the sth-sth policy input (models/gfv.py:218-239)."""
+    b, tg = fmap.shape[:2]
+    gh, gw, c = fmap.shape[2:]
+    stacked = jnp.moveaxis(
+        fmap.reshape(b, d, tg // d, gh, gw, c), 2, 4
+    ).reshape(b, d, gh, gw, (tg // d) * c)
+    return jnp.swapaxes(stacked, 0, 1)
+
+
 def inference_q8(model, variables, scales, frames_flat, frames_small, rng,
                  impl: str = "auto"):
     """int8 deployment forward (actnet GRU family): quantized glance +
-    focus backbones, bf16 policy/classifier. Mirrors models/gfv.py
-    ``inference``."""
+    focus backbones; with head scales present (``scales['heads']``,
+    calibrate_gfv) the policy and classifier run int8 too, and frames may
+    arrive as int8 transport (halved extraction DMA). Mirrors
+    models/gfv.py ``inference``."""
     from adafocus_tpu.models.gfv import (
         GFV, extract_for_frames, fuse_and_classify,
     )
 
     cfg = model.cfg
+    heads = scales.get("heads")
     b, t = frames_small.shape[:2]
-    fmap, pooled = q8_glance(model, variables, scales, frames_small)
-    roll = model.apply(
-        variables, fmap.astype(cfg.dtype), rng, "greedy", False,
-        method=GFV.policy_rollout)
+    fmap, pooled = q8_glance(
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
+    if heads is not None:
+        roll, _ = q8_policy_rollout(
+            model, variables, heads, fmap.astype(jnp.float32), rng, "greedy")
+    else:
+        roll = model.apply(
+            variables, fmap.astype(cfg.dtype), rng, "greedy", False,
+            method=GFV.policy_rollout)
     patches = extract_for_frames(
         frames_flat, roll["actions"], cfg.image_size, cfg.patch_size,
         impl=impl)
-    local = q8_focus(model, variables, scales, patches).reshape(b, t, -1)
+    local = q8_focus(
+        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+    ).reshape(b, t, -1)
+    if heads is not None and cfg.classifier == "gru":
+        logits, _ = q8_classify_gru(model, variables, heads, pooled, local)
+        return logits
     return fuse_and_classify(
         model, variables, pooled.astype(cfg.dtype),
         local.astype(cfg.dtype), train=False)
@@ -259,9 +534,11 @@ def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
     )
 
     cfg = model.cfg
+    heads = scales.get("heads")
     b, t = frames_small.shape[:2]
     k = cfg.frame_budget
-    fmap, pooled = q8_glance(model, variables, scales, frames_small)
+    fmap, pooled = q8_glance(
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
     fmap = fmap.astype(cfg.dtype)
     pooled = pooled.astype(cfg.dtype)
     if cfg.plus_rl:
@@ -272,13 +549,25 @@ def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
         scores = model.apply(variables, pooled, method=GFV.frame_scores)
         idx, _ = select_topk(scores, k, rng, mode="top")
     fmap_sel = gather_frames(fmap, idx)
-    roll = model.apply(
-        variables, fmap_sel, rng, "greedy", False, method=GFV.policy_rollout)
+    if heads is not None:
+        roll, _ = q8_policy_rollout(
+            model, variables, heads, fmap_sel.astype(jnp.float32), rng,
+            "greedy")
+    else:
+        roll = model.apply(
+            variables, fmap_sel, rng, "greedy", False,
+            method=GFV.policy_rollout)
     patches = extract_for_frames(
         gather_frames(frames_flat, idx), roll["actions"], cfg.image_size,
         cfg.patch_size, impl=impl)
-    local_sel = q8_focus(model, variables, scales, patches).reshape(b, k, -1)
+    local_sel = q8_focus(
+        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+    ).reshape(b, k, -1)
     local_full = scatter_frames(local_sel.astype(cfg.dtype), idx, t)
+    if heads is not None and cfg.classifier == "gru":
+        logits, _ = q8_classify_gru(
+            model, variables, heads, pooled, local_full)
+        return logits
     return fuse_and_classify(model, variables, pooled, local_full,
                              train=False)
 
@@ -294,21 +583,36 @@ def inference_q8_sthsth(model, variables, scales, frames_flat, frames_small,
     )
 
     cfg = model.cfg
+    heads = scales.get("heads")
     b, tf = frames_flat.shape[:2]
     tg = frames_small.shape[1]
-    fmap, pooled = q8_glance(model, variables, scales, frames_small)
-    global_logits = model.apply(
-        variables, pooled.reshape(b * tg, -1), False,
-        method=lambda m, p, train: m.glancer.classify(p, train),
-    ).reshape(b, tg, -1)
-    roll = model.apply(
-        variables, fmap.astype(cfg.dtype), rng, "greedy", False,
-        method=GFV.policy_rollout_div)
+    fmap, pooled = q8_glance(
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
+    if heads is not None:
+        global_logits, _ = q8_frame_logits(
+            model, variables, heads, pooled, "glancer")
+        roll, _ = q8_policy_rollout(
+            model, variables, heads, fmap.astype(jnp.float32), rng,
+            "greedy", div=True)
+    else:
+        global_logits = model.apply(
+            variables, pooled.reshape(b * tg, -1), False,
+            method=lambda m, p, train: m.glancer.classify(p, train),
+        ).reshape(b, tg, -1)
+        roll = model.apply(
+            variables, fmap.astype(cfg.dtype), rng, "greedy", False,
+            method=GFV.policy_rollout_div)
     actions = actions_per_frame(roll["actions"], tf)
     patches = extract_for_frames(
         frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl)
-    feats = q8_focus(model, variables, scales, patches).reshape(b, tf, -1)
-    local_logits = model.apply(
-        variables, feats.astype(cfg.dtype), False,
-        method=GFV.classify_frame_logits)
+    feats = q8_focus(
+        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+    ).reshape(b, tf, -1)
+    if heads is not None:
+        local_logits, _ = q8_frame_logits(
+            model, variables, heads, feats, "local")
+    else:
+        local_logits = model.apply(
+            variables, feats.astype(cfg.dtype), False,
+            method=GFV.classify_frame_logits)
     return sum_consensus(global_logits, local_logits, cfg.with_glancer)

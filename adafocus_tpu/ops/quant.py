@@ -85,3 +85,24 @@ def int8_dense(x_q: jax.Array, unit: QConv) -> jax.Array:
 
 def dequantize(x_q: jax.Array, scale: jax.Array) -> jax.Array:
     return x_q.astype(jnp.float32) * scale
+
+
+def _frame_absmax() -> float:
+    """Static bound on ImageNet-normalized pixels: max_c of
+    max(mean_c, 1 - mean_c) / std_c — no calibration needed."""
+    from adafocus_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    return max(
+        max(m, 1.0 - m) / s for m, s in zip(IMAGENET_MEAN, IMAGENET_STD))
+
+
+# int8 transport scale for normalized video frames/patches (the serving
+# input format: frames quantized once where they are produced — at the
+# on-device augmentation or by the caller — then moved/patch-extracted at
+# half the bf16 HBM width, dequantized inside the backbone stems).
+FRAME_SCALE = _frame_absmax() / 127.0
+
+
+def quantize_frames(frames: jax.Array) -> jax.Array:
+    """Normalized float frames -> int8 transport format (FRAME_SCALE)."""
+    return quantize_act(frames, jnp.float32(FRAME_SCALE))

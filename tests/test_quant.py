@@ -192,3 +192,102 @@ def test_inference_q8_sthsth_end_to_end():
     out = inference_q8_sthsth(model, variables, scales, flat, small, rng)
     assert out.shape == ref.shape
     assert _cosine(out, ref) > 0.95, _cosine(out, ref)
+
+
+# ---------------------------------------------------------------------------
+# int8 phase 2: quantized heads + int8 frame transport.
+# ---------------------------------------------------------------------------
+
+
+def test_calibrate_gfv_includes_head_scales():
+    cfg = GFVConfig(num_classes=5, num_frames=2, image_size=32,
+                    glance_size=32, patch_size=16, action_dim=4,
+                    hidden_dim=16, policy_hidden=16, dtype=jnp.float32)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    small = jax.random.normal(
+        jax.random.key(1), (2, cfg.num_frames, 32, 32, 3), jnp.float32)
+    patches = jax.random.normal(
+        jax.random.key(2), (2 * cfg.num_frames, 16, 16, 3), jnp.float32)
+    scales = calibrate_gfv(model, variables,
+                           [{"frames_small": small, "patches": patches}])
+    heads = scales["heads"]
+    for name in ("policy/proj", "policy/fc", "policy/gru/x", "policy/gru/h",
+                 "policy/actor", "policy/critic", "cls/gru/x", "cls/gru/h",
+                 "cls/fc"):
+        assert name in heads, name
+        assert float(heads[name]) > 0
+
+
+def test_head_runner_record_mode_matches_flax_gru():
+    """The _HeadRunner's f32 record-mode GRU must reproduce the flax
+    classifier GRU (same torch-parity gate math) — the calibration pass
+    records abs-maxes of the REAL activations."""
+    from adafocus_tpu.models.classifiers import RecurrentClassifier
+    from adafocus_tpu.models.quant_inference import _HeadRunner
+
+    cls = RecurrentClassifier(num_classes=5, hidden_dim=16, in_dim=12,
+                              dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(3), (2, 4, 12), jnp.float32)
+    variables = cls.init(jax.random.key(4), x)
+    ref = cls.apply(variables, x)  # (B, T, classes)
+
+    runner = _HeadRunner(None)
+    p = variables["params"]
+    hs = runner.gru("cls/gru", p["gru"], jnp.zeros((2, 16)),
+                    jnp.swapaxes(x, 0, 1))
+    logits = runner.dense("cls/fc", hs, p["fc"]["kernel"], p["fc"]["bias"])
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(logits, 0, 1)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5)
+    assert "cls/gru/x" in runner.absmax and "cls/gru/h" in runner.absmax
+
+
+def test_frame_scale_roundtrip_bound():
+    """int8 frame transport: every ImageNet-normalized pixel value (raw
+    pixels in [0,1]) survives quantize->dequantize within FRAME_SCALE/2."""
+    from adafocus_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from adafocus_tpu.ops.quant import FRAME_SCALE, quantize_frames
+
+    raw = jnp.linspace(0.0, 1.0, 256)[:, None]
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    normed = (raw - mean) / std  # (256, 3), the full normalized range
+    q = quantize_frames(normed)
+    assert q.dtype == jnp.int8
+    deq = q.astype(jnp.float32) * FRAME_SCALE
+    err = np.abs(np.asarray(deq - normed))
+    assert err.max() <= FRAME_SCALE / 2 + 1e-6
+
+
+def test_inference_q8_int8_frame_transport():
+    """int8-transport frames (the serving input format) agree with the
+    same q8 forward fed float frames."""
+    from adafocus_tpu.ops.quant import quantize_frames
+
+    cfg = GFVConfig(num_classes=5, num_frames=2, image_size=32,
+                    glance_size=32, patch_size=16, action_dim=4,
+                    hidden_dim=16, policy_hidden=16, dtype=jnp.float32)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # realistic range: ImageNet-normalized pixels, not unit normals
+    raw = jax.random.uniform(jax.random.key(7), (2 * cfg.num_frames, 32, 32, 3))
+    from adafocus_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    normed = (raw - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    flat = pad_for_extraction(normed).reshape(2, cfg.num_frames, 32, -1)
+    small = jax.random.uniform(jax.random.key(8), (2, cfg.num_frames, 32, 32, 3))
+    small = (small - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    rng = jax.random.key(9)
+    scales = calibrate_gfv(
+        model, variables,
+        [{"frames_small": small,
+          "patches": jax.random.normal(jax.random.key(10),
+                                       (2 * cfg.num_frames, 16, 16, 3))}])
+    out_f = inference_q8(model, variables, scales, flat, small, rng)
+    out_q = inference_q8(model, variables, scales, quantize_frames(flat),
+                         quantize_frames(small), rng)
+    assert out_q.shape == out_f.shape
+    assert _cosine(out_q, out_f) > 0.99, _cosine(out_q, out_f)
