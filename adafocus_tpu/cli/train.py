@@ -38,7 +38,9 @@ from adafocus_tpu.ops.metrics import (
     mean_average_precision,
     multi_hot,
 )
-from adafocus_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_train_step
+from adafocus_tpu.parallel.mesh import (
+    make_mesh, replicate, replicate_key, shard_batch, shard_train_step,
+)
 from adafocus_tpu.train import checkpoint as ckpt
 from adafocus_tpu.train.optim import make_stage_optimizer
 from adafocus_tpu.train.stages import (
@@ -221,11 +223,18 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         train_step = shard_train_step(train_step, mesh)  # donates old state
         state = replicate(state, mesh)
         put = lambda b: shard_batch(b, mesh)
+        # multi-host: per-batch rng must be a global (replicated) array
+        # before it enters the mesh-spanning jit program
+        put_key = (
+            (lambda k: replicate_key(k, mesh))
+            if jax.process_count() > 1 else (lambda k: k)
+        )
         log(f"data-parallel over {n_dev} devices (mesh axis 'data')")
     else:
         train_step, eval_step = build_steps(cfg, model, tx)
         train_step = jax.jit(train_step)
         put = lambda b: b
+        put_key = lambda k: k
     eval_step = jax.jit(eval_step)
 
     prep_train = make_batch_prep(cfg, train=True)
@@ -246,7 +255,7 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
         def prep_one(raw, i, _ek=epoch_key):
             bkey = jax.random.fold_in(_ek, i)
             batch, _, _ = prep_train(raw, bkey)
-            return put(batch), bkey
+            return put(batch), put_key(bkey)
 
         for i, (batch, bkey) in enumerate(
             prefetch_to_device(train_loader, prep_one)

@@ -84,6 +84,11 @@ class GFVConfig:
                                   # (sequential selector actor-critic)
                                   # instead of the ST-gumbel selector
     partial_bn: bool = False      # TSM partial-BN freezing on the focuser
+    remat: bool = False           # per-block rematerialization: trade ~1/3
+                                  # extra backward FLOPs for O(1-block)
+                                  # residual memory, so large train batches
+                                  # coexist with an HBM-resident dataset
+                                  # cache (data/cache.py device mode)
     dtype: Any = jnp.bfloat16     # compute dtype (params stay f32)
 
     @property
@@ -115,12 +120,14 @@ class GFV(nn.Module):
             num_classes=cfg.num_classes,
             dtype=cfg.dtype,
             n_frames=cfg.num_frames if cfg.tsm else 0,
+            remat=cfg.remat,
         )
         self.focuser = resnet50(
             num_classes=cfg.num_classes,
             dtype=cfg.dtype,
             n_frames=cfg.t_focuser if cfg.tsm else 0,
             partial_bn=cfg.partial_bn,
+            remat=cfg.remat,
         )
         self.policy = ActorCritic(
             action_dim=cfg.action_dim,

@@ -74,6 +74,7 @@ class MobileNetV2(nn.Module):
     dropout_rate: float = 0.2
     n_frames: int = 0
     shift_div: int = 8
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -83,12 +84,17 @@ class MobileNetV2(nn.Module):
         input_channel = make_divisible(32 * self.width_mult)
         self.stem = ConvBNAct(input_channel, kernel_size=3, strides=2,
                               dtype=self.dtype, axis_name=self.axis_name)
+        # see resnet.py: checkpoint-compatible per-block remat
+        block_ctor = (
+            nn.remat(InvertedResidual, static_argnums=(2,))
+            if self.remat else InvertedResidual
+        )
         blocks = []
         for i, (t, c, n, s) in enumerate(_INVERTED_RESIDUAL_CFG):
             out_c = make_divisible(c * self.width_mult)
             for j in range(n):
                 blocks.append(
-                    InvertedResidual(
+                    block_ctor(
                         out_c,
                         strides=s if j == 0 else 1,
                         expand_ratio=t,

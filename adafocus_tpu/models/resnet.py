@@ -89,6 +89,7 @@ class ResNet(nn.Module):
     n_frames: int = 0
     shift_div: int = 8
     partial_bn: bool = False
+    remat: bool = False
 
     @property
     def feature_dim(self) -> int:
@@ -97,6 +98,13 @@ class ResNet(nn.Module):
     def setup(self):
         self.stem = ConvBNAct(64, kernel_size=7, strides=2, act=nn.relu,
                               dtype=self.dtype, axis_name=self.axis_name)
+        # per-block rematerialization (jax.checkpoint via the flax lift):
+        # param/stats structure and init values are unchanged, so rematted
+        # and plain programs share checkpoints. static arg 2 = ``train``.
+        block_ctor = (
+            nn.remat(self.block_cls, static_argnums=(2,))
+            if self.remat else self.block_cls
+        )
         blocks = []
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2 ** stage)
@@ -110,7 +118,7 @@ class ResNet(nn.Module):
                     strides != 1 or in_features != features * self.block_cls.expansion
                 )
                 blocks.append(
-                    self.block_cls(
+                    block_ctor(
                         features,
                         strides=strides,
                         downsample=downsample,

@@ -35,14 +35,42 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Place a host batch with the leading dim sharded over the mesh."""
+    """Place a host batch with the leading dim sharded over the mesh.
+
+    On a multi-process mesh (real multi-host, jax.process_count() > 1) the
+    input is each process's LOCAL loader batch (the per-host record shard,
+    data/pipeline.py host_id/num_hosts); the global batch is their
+    concatenation in process order — the reference's DistributedSampler
+    contract (actnet/main_dist.py:234)."""
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if sharding.is_fully_addressable:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Every device holds the full value. Works on multi-process meshes
+    (each process must pass the same host value — true for seeded state)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if sharding.is_fully_addressable:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        arrs = [jax.device_put(x, d) for d in sharding.addressable_devices]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding, arrs)
+
+    return jax.tree.map(put, tree)
+
+
+def replicate_key(key: jax.Array, mesh: Mesh) -> jax.Array:
+    """Replicate a typed PRNG key over a (possibly multi-process) mesh.
+    Key arrays can't ride the numpy paths above; go through key_data."""
+    data = replicate(jax.random.key_data(key), mesh)
+    return jax.random.wrap_key_data(data)
 
 
 def shard_train_step(

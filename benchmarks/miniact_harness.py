@@ -84,6 +84,9 @@ def profiles(args):
             "model.num_classes=50", "model.num_frames=16",
             "model.image_size=224", "model.glance_size=224",
             "model.patch_size=96", "model.action_dim=49",
+            # per-block remat: the B=32x16-frame train steps must share HBM
+            # with the device-resident dataset cache (models/gfv.py remat)
+            "model.remat=true",
             "loader.batch_size=32", "loader.canvas_size=256",
             "loader.cache=device", "run.print_freq=20",
             "run.eval_freq=5",
