@@ -92,8 +92,12 @@ def profiles(args):
             "run.eval_freq=5",
         ]
         epochs = {"s0": 25, "s1": 20, "s2": 30, "s3": 10,
-                  "plus1": 12, "plus2": 12, "sth1": 20, "sth2": 25}
-        budgets = [4, 8, 12, 16]
+                  "plus1": 8, "plus2": 8, "sth1": 20, "sth2": 25}
+        # two trained budget points (compiles dominate: every K is a
+        # distinct XLA program, so each extra budget costs ~2 cold
+        # compiles x 2 selector variants); the base eval supplies the
+        # K=T=16 end of the frontier
+        budgets = [4, 12]
         sth = ["model.num_frames=8", "model.num_frames_focuser=12",
                "model.video_div=2"]
     return gen, base, epochs, budgets, sth
@@ -343,7 +347,7 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke profile (tiny dataset + model)")
     ap.add_argument("--phases",
-                    default="dataset,base,baselines,int8,frontier,sthsth")
+                    default="dataset,base,baselines,int8,sthsth,frontier")
     args = ap.parse_args(argv)
     h = Harness(args)
     for phase in args.phases.split(","):
