@@ -45,11 +45,20 @@ from adafocus_tpu.ops.quant import (
 
 class _UnitRunner:
     """Executes conv-bn units either in bf16 (recording input abs-maxes,
-    calibration mode) or quantized int8 (execution mode)."""
+    calibration mode) or quantized int8 (execution mode).
 
-    def __init__(self, scales: Optional[Dict[str, jax.Array]], dtype):
+    ``qw`` (optional, mutable dict) caches prepared weights — BN-folded,
+    per-channel-quantized ``(kernel_q, w_scale, bias)`` per unit. A miss
+    computes and records (weight prep is data-independent); a hit skips the
+    fold+quantize entirely. ``prepare_q8`` fills the cache once so serving
+    (notably batch-1, where per-call weight quantization measured 0.84x
+    bf16 — PERF.md) never re-quantizes weights."""
+
+    def __init__(self, scales: Optional[Dict[str, jax.Array]], dtype,
+                 qw: Optional[dict] = None):
         self.scales = scales
         self.dtype = dtype
+        self.qw = qw
         self.absmax: Dict[str, jax.Array] = {}
 
     def __call__(self, name, x, unit, strides=1, groups=1, act=None):
@@ -68,8 +77,13 @@ class _UnitRunner:
                 feature_group_count=groups,
             ).astype(jnp.float32) + bias
         else:
-            kernel, bias = fold_bn(unit["conv"]["kernel"], unit["bn"])
-            kq, ws = quantize_weight(kernel)
+            if self.qw is not None and name in self.qw:
+                kq, ws, bias = self.qw[name]
+            else:
+                kernel, bias = fold_bn(unit["conv"]["kernel"], unit["bn"])
+                kq, ws = quantize_weight(kernel)
+                if self.qw is not None:
+                    self.qw[name] = (kq, ws, bias)
             s_x = self.scales[name]
             q = quantize_act(x, s_x)
             y = int8_conv(q, QConv(kq, ws, bias, s_x), strides, groups)
@@ -132,9 +146,10 @@ def _resnet_backbone(params, x, runner, stage_sizes=(3, 4, 6, 3),
     return h, jnp.mean(h, axis=(1, 2))
 
 
-def _run_backbone(kind, variables, x, scales, n_frames=0, dtype=None):
+def _run_backbone(kind, variables, x, scales, n_frames=0, dtype=None,
+                  qw=None):
     params = _merge_bn(variables["params"], variables.get("batch_stats", {}))
-    runner = _UnitRunner(scales, dtype or x.dtype)
+    runner = _UnitRunner(scales, dtype or x.dtype, qw)
     fn = _mbv2_backbone if kind == "mbv2" else _resnet_backbone
     fmap, pooled = fn(params, x, runner, n_frames=n_frames)
     if scales is None:
@@ -204,21 +219,23 @@ def calibrate_gfv(model, variables, batches) -> Dict[str, Dict[str, jax.Array]]:
     }
 
 
-def q8_glance(model, variables, scales, frames_small):
+def q8_glance(model, variables, scales, frames_small, qw=None):
     cfg = model.cfg
     b, t = frames_small.shape[:2]
     flat = frames_small.reshape((b * t,) + frames_small.shape[2:])
     fmap, pooled = _run_backbone(
         "mbv2", _subtree(variables, "glancer"), flat.astype(cfg.dtype),
-        scales["glancer"], n_frames=cfg.num_frames if cfg.tsm else 0)
+        scales["glancer"], n_frames=cfg.num_frames if cfg.tsm else 0,
+        qw=None if qw is None else qw["glancer"])
     return fmap.reshape((b, t) + fmap.shape[1:]), pooled.reshape(b, t, -1)
 
 
-def q8_focus(model, variables, scales, patches):
+def q8_focus(model, variables, scales, patches, qw=None):
     cfg = model.cfg
     _, pooled = _run_backbone(
         "resnet", _subtree(variables, "focuser"), patches.astype(cfg.dtype),
-        scales["focuser"], n_frames=cfg.t_focuser if cfg.tsm else 0)
+        scales["focuser"], n_frames=cfg.t_focuser if cfg.tsm else 0,
+        qw=None if qw is None else qw["focuser"])
     return pooled
 
 
@@ -241,9 +258,20 @@ class _HeadRunner:
     with a scales dict runs int8 MXU matmuls (per-output-channel int8
     weights, per-tensor calibrated activations, f32 epilogues)."""
 
-    def __init__(self, scales: Optional[Dict[str, jax.Array]]):
+    def __init__(self, scales: Optional[Dict[str, jax.Array]],
+                 qw: Optional[dict] = None):
         self.scales = scales
+        self.qw = qw
         self.absmax: Dict[str, jax.Array] = {}
+
+    def _qweight(self, name: str, kernel: jax.Array):
+        """Prepared-weight cache (see _UnitRunner.qw)."""
+        if self.qw is not None and name in self.qw:
+            return self.qw[name]
+        kq, ws = quantize_weight(kernel)
+        if self.qw is not None:
+            self.qw[name] = (kq, ws)
+        return kq, ws
 
     def _see(self, name: str, x: jax.Array) -> None:
         a = jnp.max(jnp.abs(x.astype(jnp.float32)))
@@ -257,7 +285,7 @@ class _HeadRunner:
                 self._see(name, x)
             y = x.astype(jnp.float32) @ kernel.astype(jnp.float32)
         else:
-            kq, ws = quantize_weight(kernel)
+            kq, ws = self._qweight(name, kernel)
             s = self.scales[name]
             y = jnp.dot(
                 quantize_act(x, s), kq, preferred_element_type=jnp.int32
@@ -292,7 +320,7 @@ class _HeadRunner:
                 self.absmax[hname] = (
                     amax if prev is None else jnp.maximum(prev, amax))
             return hs
-        whq, whs = quantize_weight(p["wh"])
+        whq, whs = self._qweight(f"{name}/wh", p["wh"])
         s_h = self.scales[hname]
 
         def step(h, gi_t):
@@ -329,14 +357,14 @@ def _q8_encode(runner, policy_params, policy_stats, fmap, cfg):
         act=jax.nn.relu)
 
 
-def q8_policy_states(model, variables, head_scales, fmaps_tb):
+def q8_policy_states(model, variables, head_scales, fmaps_tb, qw=None):
     """Quantized ActorCritic.rollout_states (models/policy.py:132-154).
 
     fmaps_tb: (T, B, gh, gw, C) time-major glance maps (actnet) or
     (D, B, gh, gw, C*Tg/D) division-stacked maps (sth-sth). Returns
     (hiddens (T,B,H), actor_out (T,B,K|2), value (T,B), runner)."""
     cfg = model.cfg
-    runner = _HeadRunner(head_scales)
+    runner = _HeadRunner(head_scales, qw)
     p = variables["params"]["policy"]
     stats = dict(variables.get("batch_stats", {})).get("policy", {})
     t, b = fmaps_tb.shape[:2]
@@ -355,7 +383,7 @@ def q8_policy_states(model, variables, head_scales, fmaps_tb):
 
 
 def q8_policy_rollout(model, variables, head_scales, fmap, rng,
-                      mode: str = "greedy", div: bool = False):
+                      mode: str = "greedy", div: bool = False, qw=None):
     """Quantized GFV.policy_rollout / policy_rollout_div: returns the same
     actions dict as models/gfv.py:189-239."""
     from adafocus_tpu.models.policy import sample_rollout
@@ -370,7 +398,7 @@ def q8_policy_rollout(model, variables, head_scales, fmap, rng,
         ).reshape(b, d, gh, gw, (tg // d) * c)
     xs = jnp.swapaxes(fmap, 0, 1)
     _, actor_out, value, runner = q8_policy_states(
-        model, variables, head_scales, xs)
+        model, variables, head_scales, xs, qw=qw)
     actions, idx, logprob = sample_rollout(
         actor_out, rng, mode, cfg.continuous_policy, cfg.action_dim,
         cfg.action_std)
@@ -382,11 +410,11 @@ def q8_policy_rollout(model, variables, head_scales, fmap, rng,
     }, runner
 
 
-def q8_classify_gru(model, variables, head_scales, pooled, local):
+def q8_classify_gru(model, variables, head_scales, pooled, local, qw=None):
     """Quantized fuse_and_classify for the GRU family (models/gfv.py:
     336-350): fused features -> int8 GRU scan -> int8 FC, per-step logits
     (B, T, classes)."""
-    runner = _HeadRunner(head_scales)
+    runner = _HeadRunner(head_scales, qw)
     p = variables["params"]["classifier"]
     fused = jnp.concatenate(
         [pooled.astype(jnp.float32), local.astype(jnp.float32)], axis=-1)
