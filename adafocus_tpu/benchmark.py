@@ -61,9 +61,14 @@ def _inference_fn_q8(model: GFV, state, seed: int = 0):
     """int8-PTQ deployment fn: calibrates activation scales on random
     deployment-shaped data (scale VALUES are irrelevant to throughput; the
     quality story is pinned by tests/test_quant.py on calibrated real
-    activations) and closes over them as compile-time constants."""
+    activations) and closes over them — plus the prepared-weight cache
+    (``prepare_q8``) — as compile-time constants, exactly what the AOT
+    export artifact serves (serving.export_inference). Without the cache,
+    batch-1 serving re-folds + re-quantizes every weight per call
+    (measured 0.84x bf16 at bs=1 — PERF.md)."""
     from adafocus_tpu.models.quant_inference import (
         calibrate_gfv, inference_q8, inference_q8_plus, inference_q8_sthsth,
+        prepare_q8,
     )
 
     cfg = model.cfg
@@ -78,6 +83,7 @@ def _inference_fn_q8(model: GFV, state, seed: int = 0):
             jnp.float32),
     }
     scales = calibrate_gfv(model, variables, [calib])
+    qw = prepare_q8(model, variables, scales)
     if cfg.frame_budget > 0:
         fam = inference_q8_plus
     elif cfg.classifier == "consensus":
@@ -87,7 +93,8 @@ def _inference_fn_q8(model: GFV, state, seed: int = 0):
 
     def fn(params, batch_stats, frames_flat, frames_small, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        return fam(model, variables, scales, frames_flat, frames_small, rng)
+        return fam(model, variables, scales, frames_flat, frames_small, rng,
+                   qw=qw)
 
     return fn
 

@@ -217,8 +217,11 @@ def build_oracle_table(cfg, loader) -> "np.ndarray":
     return out
 
 
-def make_eval_step_q8(model, scales, impl: str = "auto"):
-    """Eval step on the int8 PTQ serving forward (any family)."""
+def make_eval_step_q8(model, scales, impl: str = "auto", qw=None):
+    """Eval step on the int8 PTQ serving forward (any family). ``qw``:
+    prepared-weight cache (models/quant_inference.prepare_q8); its int8
+    kernels become jit constants, matching what the export artifact
+    serves."""
     import jax.numpy as jnp
 
     from adafocus_tpu.models.quant_inference import (
@@ -243,7 +246,8 @@ def make_eval_step_q8(model, scales, impl: str = "auto"):
         # the benchmarked int8 path serves
         logits = fam(model, variables, scales,
                      quantize_frames(batch["frames_flat"]),
-                     quantize_frames(batch["frames_small"]), rng, impl=impl)
+                     quantize_frames(batch["frames_small"]), rng, impl=impl,
+                     qw=qw)
         final = logits[:, -1] if logits.ndim == 3 else logits
         top1, top5 = topk_accuracy(final.astype(jnp.float32),
                                    batch["labels"])
@@ -312,7 +316,14 @@ def main(argv: Optional[Sequence[str]] = None) -> dict:
             cfg.run.quantize_batches)
         log(f"int8 PTQ: calibrated {sum(len(s) for s in scales.values())} "
             f"activation scales on {cfg.run.quantize_batches} val batches")
-        eval_step = make_eval_step_q8(model, scales)
+        from adafocus_tpu.models.quant_inference import prepare_q8
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        qw = prepare_q8(model, variables, scales)
+        log(f"int8 PTQ: prepared {sum(len(q) for q in qw.values())} "
+            f"quantized weight sets")
+        eval_step = make_eval_step_q8(model, scales, qw=qw)
     elif cfg.run.quantize:
         raise SystemExit(f"unknown run.quantize mode {cfg.run.quantize!r}")
     elif cfg.run.family == "sthsth":

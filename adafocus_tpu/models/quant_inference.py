@@ -52,7 +52,13 @@ class _UnitRunner:
     computes and records (weight prep is data-independent); a hit skips the
     fold+quantize entirely. ``prepare_q8`` fills the cache once so serving
     (notably batch-1, where per-call weight quantization measured 0.84x
-    bf16 — PERF.md) never re-quantizes weights."""
+    bf16 — PERF.md) never re-quantizes weights.
+
+    The cache is keyed by unit name only and is valid for exactly ONE
+    variables pytree: fill it eagerly (``prepare_q8``, outside jit) and
+    discard it when the weights change (new checkpoint, EMA swap). Under a
+    jit trace a miss computes but does NOT record (tracers must not leak
+    into the cross-call dict)."""
 
     def __init__(self, scales: Optional[Dict[str, jax.Array]], dtype,
                  qw: Optional[dict] = None):
@@ -82,7 +88,8 @@ class _UnitRunner:
             else:
                 kernel, bias = fold_bn(unit["conv"]["kernel"], unit["bn"])
                 kq, ws = quantize_weight(kernel)
-                if self.qw is not None:
+                if self.qw is not None and not isinstance(
+                        kq, jax.core.Tracer):
                     self.qw[name] = (kq, ws, bias)
             s_x = self.scales[name]
             q = quantize_act(x, s_x)
@@ -256,7 +263,19 @@ class _HeadRunner:
     """Dense/GRU analog of ``_UnitRunner``: with ``scales=None`` runs the
     f32 reference math recording each quantization point's input abs-max;
     with a scales dict runs int8 MXU matmuls (per-output-channel int8
-    weights, per-tensor calibrated activations, f32 epilogues)."""
+    weights, per-INPUT-channel calibrated activations, f32 epilogues).
+
+    Per-channel activation scales matter here in a way they don't for the
+    backbone convs: head inputs are concatenated GAP features / glance
+    maps with wildly heterogeneous channel ranges (measured on
+    mini-ActivityNet: the classifier-GRU's fused 3328-dim input has
+    abs-max 572 driven by a few outlier channels while typical channels
+    sit near 1 — a per-tensor scale of 4.5 rounds almost every input to
+    ZERO and collapses eval mAP 0.95 -> 0.18). For a matmul the fix is
+    exact and free: y_j = sum_k (x_k/s_k) * (s_k * W_kj), i.e. quantize x
+    per channel and fold the scale vector into the f32 kernel BEFORE its
+    per-output-channel weight quantization — the int8 MXU matmul and its
+    f32 epilogue are unchanged."""
 
     def __init__(self, scales: Optional[Dict[str, jax.Array]],
                  qw: Optional[dict] = None):
@@ -264,32 +283,37 @@ class _HeadRunner:
         self.qw = qw
         self.absmax: Dict[str, jax.Array] = {}
 
-    def _qweight(self, name: str, kernel: jax.Array):
-        """Prepared-weight cache (see _UnitRunner.qw)."""
+    def _qweight(self, name: str, kernel: jax.Array, s: jax.Array):
+        """Prepared-weight cache (see _UnitRunner.qw): the activation
+        scale (scalar or per-input-channel vector) folds into the f32
+        kernel before per-output-channel int8 quantization."""
         if self.qw is not None and name in self.qw:
             return self.qw[name]
-        kq, ws = quantize_weight(kernel)
-        if self.qw is not None:
+        folded = kernel.astype(jnp.float32) * s[..., None]
+        kq, ws = quantize_weight(folded)
+        if self.qw is not None and not isinstance(kq, jax.core.Tracer):
             self.qw[name] = (kq, ws)
         return kq, ws
 
     def _see(self, name: str, x: jax.Array) -> None:
-        a = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                    axis=tuple(range(x.ndim - 1)))
         prev = self.absmax.get(name)
         self.absmax[name] = a if prev is None else jnp.maximum(prev, a)
 
     def dense(self, name, x, kernel, bias, act=None):
-        """(..., in) @ (in, out); quantization point = the input tensor."""
+        """(..., in) @ (in, out); quantization point = the input tensor,
+        one scale per input channel."""
         if self.scales is None or name not in self.scales:
             if self.scales is None:
                 self._see(name, x)
             y = x.astype(jnp.float32) @ kernel.astype(jnp.float32)
         else:
-            kq, ws = self._qweight(name, kernel)
-            s = self.scales[name]
+            s = jnp.atleast_1d(self.scales[name])
+            kq, ws = self._qweight(name, kernel, s)
             y = jnp.dot(
                 quantize_act(x, s), kq, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (s * ws)
+            ).astype(jnp.float32) * ws
         if bias is not None:
             y = y + bias.astype(jnp.float32)
         return act(y) if act is not None else y
@@ -308,25 +332,28 @@ class _HeadRunner:
         hname = f"{name}/h"
         if self.scales is None or hname not in self.scales:
             wh = p["wh"].astype(jnp.float32)
+            hdim = wh.shape[0]
 
             def step(carry, gi_t):
                 h, amax = carry
                 h2 = _gates(gi_t, h, h @ wh + bh)
-                return (h2, jnp.maximum(amax, jnp.max(jnp.abs(h2)))), h2
+                amax = jnp.maximum(amax, jnp.max(jnp.abs(h2), axis=0))
+                return (h2, amax), h2
 
-            (_, amax), hs = jax.lax.scan(step, (h0, jnp.float32(0.0)), gi)
+            (_, amax), hs = jax.lax.scan(
+                step, (h0, jnp.zeros((hdim,), jnp.float32)), gi)
             if self.scales is None:
                 prev = self.absmax.get(hname)
                 self.absmax[hname] = (
                     amax if prev is None else jnp.maximum(prev, amax))
             return hs
-        whq, whs = self._qweight(f"{name}/wh", p["wh"])
-        s_h = self.scales[hname]
+        s_h = jnp.atleast_1d(self.scales[hname])
+        whq, whs = self._qweight(f"{name}/wh", p["wh"], s_h)
 
         def step(h, gi_t):
             gh = jnp.dot(
                 quantize_act(h, s_h), whq, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (s_h * whs) + bh
+            ).astype(jnp.float32) * whs + bh
             h2 = _gates(gi_t, h, gh)
             return h2, h2
 
@@ -425,11 +452,12 @@ def q8_classify_gru(model, variables, head_scales, pooled, local, qw=None):
     return jnp.swapaxes(logits, 0, 1), runner
 
 
-def q8_frame_logits(model, variables, head_scales, feats, which: str):
+def q8_frame_logits(model, variables, head_scales, feats, which: str,
+                    qw=None):
     """Quantized per-frame FC heads: the sth-sth consensus local head
     (classifier/fc, dropout inactive at eval) or the glancer's own
     classifier. feats: (..., D) -> (..., classes)."""
-    runner = _HeadRunner(head_scales)
+    runner = _HeadRunner(head_scales, qw)
     if which == "local":
         p = variables["params"]["classifier"]["fc"]
         name = "cls/fc"
@@ -489,14 +517,18 @@ def calibrate_heads(model, variables, batches) -> Dict[str, jax.Array]:
             absmax.update(grunner.absmax)
         return absmax
 
+    import numpy as np
+
     jitted = jax.jit(collect)
-    running: Dict[str, float] = {}
+    running: Dict[str, "np.ndarray"] = {}
     for b in batches:
         absmax = jax.device_get(
             jitted(variables, b["frames_small"], b["patches"]))
         for k, v in absmax.items():
-            running[k] = max(running.get(k, 0.0), float(v))
-    return {k: jnp.float32(act_scale_from_absmax(jnp.float32(v)))
+            v = np.asarray(v, np.float32)  # per-input-channel vector
+            prev = running.get(k)
+            running[k] = v if prev is None else np.maximum(prev, v)
+    return {k: act_scale_from_absmax(jnp.asarray(v, jnp.float32))
             for k, v in running.items()}
 
 
@@ -512,24 +544,28 @@ def _div_stack(fmap, d):
 
 
 def inference_q8(model, variables, scales, frames_flat, frames_small, rng,
-                 impl: str = "auto"):
+                 impl: str = "auto", qw=None):
     """int8 deployment forward (actnet GRU family): quantized glance +
     focus backbones; with head scales present (``scales['heads']``,
     calibrate_gfv) the policy and classifier run int8 too, and frames may
     arrive as int8 transport (halved extraction DMA). Mirrors
-    models/gfv.py ``inference``."""
+    models/gfv.py ``inference``. ``qw``: prepared-weight cache from
+    ``prepare_q8`` (valid for this variables pytree only)."""
     from adafocus_tpu.models.gfv import (
         GFV, extract_for_frames, fuse_and_classify,
     )
 
     cfg = model.cfg
     heads = scales.get("heads")
+    hqw = None if qw is None else qw["heads"]
     b, t = frames_small.shape[:2]
     fmap, pooled = q8_glance(
-        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype),
+        qw=qw)
     if heads is not None:
         roll, _ = q8_policy_rollout(
-            model, variables, heads, fmap.astype(jnp.float32), rng, "greedy")
+            model, variables, heads, fmap.astype(jnp.float32), rng, "greedy",
+            qw=hqw)
     else:
         roll = model.apply(
             variables, fmap.astype(cfg.dtype), rng, "greedy", False,
@@ -538,10 +574,11 @@ def inference_q8(model, variables, scales, frames_flat, frames_small, rng,
         frames_flat, roll["actions"], cfg.image_size, cfg.patch_size,
         impl=impl)
     local = q8_focus(
-        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+        model, variables, scales, _dequant_frames(patches, cfg.dtype), qw=qw
     ).reshape(b, t, -1)
     if heads is not None and cfg.classifier == "gru":
-        logits, _ = q8_classify_gru(model, variables, heads, pooled, local)
+        logits, _ = q8_classify_gru(model, variables, heads, pooled, local,
+                                    qw=hqw)
         return logits
     return fuse_and_classify(
         model, variables, pooled.astype(cfg.dtype),
@@ -549,7 +586,7 @@ def inference_q8(model, variables, scales, frames_flat, frames_small, rng,
 
 
 def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
-                      rng, impl: str = "auto"):
+                      rng, impl: str = "auto", qw=None):
     """int8 deployment forward (AdaFocus+ temporal selection): quantized
     glance + focus backbones; selector (ST top-K or plus_rl greedy
     sequential), spatial policy, and classifier stay bf16. Mirrors
@@ -563,10 +600,12 @@ def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
 
     cfg = model.cfg
     heads = scales.get("heads")
+    hqw = None if qw is None else qw["heads"]
     b, t = frames_small.shape[:2]
     k = cfg.frame_budget
     fmap, pooled = q8_glance(
-        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype),
+        qw=qw)
     fmap = fmap.astype(cfg.dtype)
     pooled = pooled.astype(cfg.dtype)
     if cfg.plus_rl:
@@ -580,7 +619,7 @@ def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
     if heads is not None:
         roll, _ = q8_policy_rollout(
             model, variables, heads, fmap_sel.astype(jnp.float32), rng,
-            "greedy")
+            "greedy", qw=hqw)
     else:
         roll = model.apply(
             variables, fmap_sel, rng, "greedy", False,
@@ -589,19 +628,19 @@ def inference_q8_plus(model, variables, scales, frames_flat, frames_small,
         gather_frames(frames_flat, idx), roll["actions"], cfg.image_size,
         cfg.patch_size, impl=impl)
     local_sel = q8_focus(
-        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+        model, variables, scales, _dequant_frames(patches, cfg.dtype), qw=qw
     ).reshape(b, k, -1)
     local_full = scatter_frames(local_sel.astype(cfg.dtype), idx, t)
     if heads is not None and cfg.classifier == "gru":
         logits, _ = q8_classify_gru(
-            model, variables, heads, pooled, local_full)
+            model, variables, heads, pooled, local_full, qw=hqw)
         return logits
     return fuse_and_classify(model, variables, pooled, local_full,
                              train=False)
 
 
 def inference_q8_sthsth(model, variables, scales, frames_flat, frames_small,
-                        rng, impl: str = "auto"):
+                        rng, impl: str = "auto", qw=None):
     """int8 deployment forward (sth-sth consensus family): quantized TSM
     glance + focus backbones, bf16 policy/classifier heads. Mirrors
     models/gfv_sthsth.py ``inference_sthsth``."""
@@ -612,16 +651,18 @@ def inference_q8_sthsth(model, variables, scales, frames_flat, frames_small,
 
     cfg = model.cfg
     heads = scales.get("heads")
+    hqw = None if qw is None else qw["heads"]
     b, tf = frames_flat.shape[:2]
     tg = frames_small.shape[1]
     fmap, pooled = q8_glance(
-        model, variables, scales, _dequant_frames(frames_small, cfg.dtype))
+        model, variables, scales, _dequant_frames(frames_small, cfg.dtype),
+        qw=qw)
     if heads is not None:
         global_logits, _ = q8_frame_logits(
-            model, variables, heads, pooled, "glancer")
+            model, variables, heads, pooled, "glancer", qw=hqw)
         roll, _ = q8_policy_rollout(
             model, variables, heads, fmap.astype(jnp.float32), rng,
-            "greedy", div=True)
+            "greedy", div=True, qw=hqw)
     else:
         global_logits = model.apply(
             variables, pooled.reshape(b * tg, -1), False,
@@ -634,13 +675,45 @@ def inference_q8_sthsth(model, variables, scales, frames_flat, frames_small,
     patches = extract_for_frames(
         frames_flat, actions, cfg.image_size, cfg.patch_size, impl=impl)
     feats = q8_focus(
-        model, variables, scales, _dequant_frames(patches, cfg.dtype)
+        model, variables, scales, _dequant_frames(patches, cfg.dtype), qw=qw
     ).reshape(b, tf, -1)
     if heads is not None:
         local_logits, _ = q8_frame_logits(
-            model, variables, heads, feats, "local")
+            model, variables, heads, feats, "local", qw=hqw)
     else:
         local_logits = model.apply(
             variables, feats.astype(cfg.dtype), False,
             method=GFV.classify_frame_logits)
     return sum_consensus(global_logits, local_logits, cfg.with_glancer)
+
+
+def prepare_q8(model, variables, scales) -> dict:
+    """Eagerly fill the prepared-weight cache for the model's family.
+
+    Runs the family's ``inference_q8*`` ONCE outside jit on a dummy
+    batch-1 input; every unit/head lazily records its BN-folded,
+    per-channel-quantized weights (weight prep is data-independent, so the
+    dummy values are irrelevant). The returned
+    ``{'glancer': {...}, 'focuser': {...}, 'heads': {...}}`` dict then
+    short-circuits fold+quantize on every subsequent call — pass it to the
+    ``inference_q8*`` entry points (or ``export_inference``, which bakes
+    the int8 kernels into the artifact as constants), so batch-1 serving
+    pays weight quantization once instead of per call (PERF.md 0.84x).
+
+    The cache is valid for THIS variables pytree only; rebuild it after
+    any weight change (new checkpoint, EMA swap).
+    """
+    from adafocus_tpu.benchmark import make_data
+
+    cfg = model.cfg
+    qw = {"glancer": {}, "focuser": {}, "heads": {}}
+    if cfg.frame_budget > 0:
+        fam = inference_q8_plus
+    elif cfg.classifier == "consensus":
+        fam = inference_q8_sthsth
+    else:
+        fam = inference_q8
+    data = make_data(cfg, 1)
+    fam(model, variables, scales, data["frames_flat"], data["frames_small"],
+        jax.random.key(0), qw=qw)
+    return qw

@@ -4,8 +4,12 @@ forward.
 Scheme (standard symmetric PTQ):
   * weights: per-output-channel symmetric int8 — scale = max|w| / 127 over
     each output channel, after BatchNorm folding (ops/fused_blocks.fold_bn);
-  * activations: per-tensor symmetric int8 — scale calibrated as the
-    absolute-max over calibration batches (models/quant_inference.py);
+  * activations: symmetric int8 with abs-max scales calibrated over
+    calibration batches (models/quant_inference.py) — per-tensor for the
+    backbone conv units (homogeneous post-ReLU ranges), per-INPUT-channel
+    for the head matmuls (GAP/concat features have outlier channels; the
+    scale vector folds exactly into the f32 kernel before weight
+    quantization, see models/quant_inference._HeadRunner);
   * convs run int8 x int8 -> int32 on the MXU (measured ~1.45x the bf16
     conv throughput on v5e; int8 also halves HBM activation traffic, which
     the early backbone stages are bound by — PERF.md);

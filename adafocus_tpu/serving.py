@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _family_inference(model, mode: str, scales=None):
+def _family_inference(model, mode: str, scales=None, qw=None):
     """(variables-closed) inference fn for the model's family/mode."""
     cfg = model.cfg
     if mode == "int8":
@@ -49,7 +49,7 @@ def _family_inference(model, mode: str, scales=None):
 
         def fn(variables, frames_flat, frames_small, rng):
             return fam(model, variables, scales, frames_flat, frames_small,
-                       rng)
+                       rng, qw=qw)
 
         return fn
     if cfg.frame_budget > 0:
@@ -89,7 +89,16 @@ def export_inference(
     cfg = model.cfg
     if mode == "int8" and scales is None:
         raise ValueError("int8 export needs calibrated activation scales")
-    inner = _family_inference(model, mode, scales)
+    qw = None
+    if mode == "int8":
+        # one eager pass fills the prepared-weight cache; the exported
+        # program then carries pre-quantized int8 kernels as constants
+        # (no per-call BN-fold/quantize — the batch-1 serving fix) and
+        # drops the unused f32 conv kernels from the artifact
+        from adafocus_tpu.models.quant_inference import prepare_q8
+
+        qw = prepare_q8(model, variables, scales)
+    inner = _family_inference(model, mode, scales, qw)
     # greedy deployment decoding is deterministic; the key only satisfies
     # the rollout signature, so bake it (and the weights) as constants
     rng = jax.random.key(seed)

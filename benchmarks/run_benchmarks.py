@@ -128,6 +128,13 @@ def main() -> None:
                 row["videos_per_sec_int8"] = round(
                     time_inference(model, batch=args.batch, inner_iters=inner,
                                    repeats=repeats, mode="int8"), 1)
+                # bs=1 int8 serving latency: exercises the prepared-weight
+                # cache (quant_inference.prepare_q8) — without it batch-1
+                # re-quantizes every weight per call (0.84x bf16; PERF.md)
+                row["latency_ms_bs1_int8"] = round(
+                    1000.0 / time_inference(model, batch=1,
+                                            inner_iters=inner,
+                                            repeats=repeats, mode="int8"), 2)
             results.append(row)
             print(json.dumps(row), flush=True)
 
