@@ -74,6 +74,10 @@ class GFVConfig:
     action_std: float = 0.25
     policy_conv: bool = True
     policy_bn: bool = False
+    policy_channels: int = 32     # state-encoder 1x1-conv width (reference
+                                  # actnet/models/ppo.py:33 uses 32; the
+                                  # sth-sth encoder uses 64 + BN,
+                                  # sthsth/models/ppo.py:33-44)
     tsm: bool = False             # sth-sth temporal-shift variant
     video_div: int = 1            # sth-sth: one action per division
     with_glancer: bool = True     # sth-sth: add glancer-logit consensus
@@ -135,6 +139,7 @@ class GFV(nn.Module):
             continuous=cfg.continuous_policy,
             action_std=cfg.action_std,
             encoder_conv=cfg.policy_conv,
+            encoder_channels=cfg.policy_channels,
             encoder_bn=cfg.policy_bn,
             dtype=cfg.dtype,
         )

@@ -65,6 +65,7 @@ def make_policy(gfv_cfg) -> ActorCritic:
         continuous=gfv_cfg.continuous_policy,
         action_std=gfv_cfg.action_std,
         encoder_conv=gfv_cfg.policy_conv,
+        encoder_channels=gfv_cfg.policy_channels,
         encoder_bn=gfv_cfg.policy_bn,
         dtype=gfv_cfg.dtype,
     )

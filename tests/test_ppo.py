@@ -19,6 +19,8 @@ from adafocus_tpu.ppo.core import (
     ppo_update,
 )
 
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
+
 
 def test_discounted_returns_matches_loop():
     rng = np.random.RandomState(0)
@@ -130,3 +132,31 @@ def test_ppo_update_moves_params_and_syncs_old(tiny_policy_setup):
     assert np.isfinite(float(metrics["ppo/loss"]))
     # behavior logprobs came from params_old == params, so ratios start at 1
     assert abs(float(metrics["ppo/ratio_mean"]) - 1.0) < 1e-4
+
+
+def test_policy_channels_config_reaches_encoder():
+    """model.policy_channels drives the state-encoder conv width — the
+    reference's sth-sth 64-ch+BN encoder (sthsth/models/ppo.py:33-44) must
+    be reproducible from config, and make_policy must agree with GFV.setup
+    so standalone PPO application shares GFV's parameter shapes."""
+    cfg = GFVConfig(
+        num_classes=5, num_frames=4, image_size=32, glance_size=16,
+        patch_size=16, action_dim=4, hidden_dim=16, policy_hidden=16,
+        policy_channels=64, policy_bn=True, dtype=jnp.float32,
+    )
+    policy = make_policy(cfg)
+    B, gh, gw, c = 2, 2, 2, 8
+    fmap = jax.random.normal(jax.random.key(0), (B, gh, gw, c))
+    variables = policy.init(
+        jax.random.key(1), policy.initial_hidden(B), fmap)
+    enc = variables["params"]["encoder"]
+    assert enc["proj"]["kernel"].shape == (1, 1, c, 64)
+    assert "bn" in enc and "bias" not in enc["proj"]
+
+    model = GFV(cfg)
+    fmaps = jnp.zeros((B, cfg.num_frames, gh, gw, c))
+    gfv_policy_vars = model.init(
+        jax.random.key(2), fmaps, jax.random.key(3), "sample", False,
+        method=GFV.policy_rollout)
+    gp = gfv_policy_vars["params"]["policy"]["encoder"]
+    assert gp["proj"]["kernel"].shape[-1] == 64
