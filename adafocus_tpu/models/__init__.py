@@ -1,6 +1,9 @@
 from adafocus_tpu.models.gru import GRUCell, gru_scan
 from adafocus_tpu.models.mobilenet import MobileNetV2
-from adafocus_tpu.models.resnet import ResNet, resnet18, resnet34, resnet50, resnet101
+from adafocus_tpu.models.resnet import (
+    ResNet, resnet18, resnet34, resnet50, resnet101, resnet152,
+    wide_resnet101,
+)
 
 __all__ = [
     "GRUCell",
@@ -11,4 +14,6 @@ __all__ = [
     "resnet34",
     "resnet50",
     "resnet101",
+    "resnet152",
+    "wide_resnet101",
 ]

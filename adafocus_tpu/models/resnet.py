@@ -54,6 +54,10 @@ class Bottleneck(nn.Module):
     axis_name: Optional[str] = None
     n_frames: int = 0
     shift_div: int = 8
+    # wide-ResNet variants (torchvision width_per_group=128, reference
+    # actnet/models/resnet.py wide_resnet101_2): the inner 1x1/3x3 convs
+    # widen by this factor while the block output stays features*expansion
+    inner_mult: int = 1
 
     expansion: int = 4
 
@@ -62,9 +66,9 @@ class Bottleneck(nn.Module):
         h = x
         if self.n_frames > 0:
             h = temporal_shift(h, self.n_frames, self.shift_div)
-        h = ConvBNAct(self.features, 1, 1, act=nn.relu,
+        h = ConvBNAct(self.features * self.inner_mult, 1, 1, act=nn.relu,
                       dtype=self.dtype, axis_name=self.axis_name, name="conv1")(h, train)
-        h = ConvBNAct(self.features, 3, self.strides, act=nn.relu,
+        h = ConvBNAct(self.features * self.inner_mult, 3, self.strides, act=nn.relu,
                       dtype=self.dtype, axis_name=self.axis_name, name="conv2")(h, train)
         h = ConvBNAct(self.features * self.expansion, 1, 1, act=None,
                       dtype=self.dtype, axis_name=self.axis_name, name="conv3")(h, train)
@@ -83,6 +87,7 @@ class ResNet(nn.Module):
 
     block_cls: type = Bottleneck
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    inner_mult: int = 1   # wide variants (Bottleneck only)
     num_classes: int = 1000
     dtype: Any = None
     axis_name: Optional[str] = None
@@ -117,6 +122,8 @@ class ResNet(nn.Module):
                 downsample = j == 0 and (
                     strides != 1 or in_features != features * self.block_cls.expansion
                 )
+                wide = ({"inner_mult": self.inner_mult}
+                        if self.block_cls is Bottleneck else {})
                 blocks.append(
                     block_ctor(
                         features,
@@ -127,6 +134,7 @@ class ResNet(nn.Module):
                         n_frames=self.n_frames,
                         shift_div=self.shift_div,
                         name=f"layer{stage + 1}_{j}",
+                        **wide,
                     )
                 )
         self.blocks = blocks
@@ -165,3 +173,18 @@ def resnet50(**kw) -> ResNet:
 
 def resnet101(**kw) -> ResNet:
     return ResNet(block_cls=Bottleneck, stage_sizes=(3, 4, 23, 3), **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    """reference actnet/models/resnet.py:311-320 (constructor parity;
+    no reference recipe uses it)."""
+    return ResNet(block_cls=Bottleneck, stage_sizes=(3, 8, 36, 3), **kw)
+
+
+def wide_resnet101(**kw) -> ResNet:
+    """torchvision wide_resnet101_2 (width_per_group=128): inner
+    bottleneck convs 2x wide, block outputs unchanged — reference
+    actnet/models/resnet.py:323-339 (constructor parity; no reference
+    recipe uses it)."""
+    return ResNet(block_cls=Bottleneck, stage_sizes=(3, 4, 23, 3),
+                  inner_mult=2, **kw)

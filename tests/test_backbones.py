@@ -61,3 +61,32 @@ def test_tsm_variants_run():
     rvars = rmodel.init(jax.random.key(1), x)
     out = rmodel.apply(rvars, x)
     assert out.shape == (8, 10)
+
+
+def test_deep_and_wide_constructor_parity():
+    """resnet152 / wide_resnet101 constructor parity (reference
+    actnet/models/resnet.py:311-339); shape-only via eval_shape so the
+    deep nets cost no compile."""
+    from adafocus_tpu.models.resnet import resnet101, resnet152, \
+        wide_resnet101
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    shapes = {}
+    for name, ctor in [("r101", resnet101), ("r152", resnet152),
+                       ("w101", wide_resnet101)]:
+        m = ctor(num_classes=7, dtype=jnp.float32)
+        v = jax.eval_shape(lambda k, xx, m=m: m.init(k, xx, False),
+                           jax.random.key(0), x)
+        shapes[name] = v["params"]
+    # depths: layer3 has 23 blocks in 101/wide101, 36 in 152
+    assert "layer3_35" in shapes["r152"] and "layer3_35" not in shapes["r101"]
+    assert "layer3_22" in shapes["w101"]
+    # widths: wide101's inner convs are 2x; block outputs unchanged
+    r, w = shapes["r101"], shapes["w101"]
+    assert r["layer1_0"]["conv1"]["conv"]["kernel"].shape[-1] == 64
+    assert w["layer1_0"]["conv1"]["conv"]["kernel"].shape[-1] == 128
+    assert (r["layer1_0"]["conv3"]["conv"]["kernel"].shape[-1]
+            == w["layer1_0"]["conv3"]["conv"]["kernel"].shape[-1] == 256)
+    # fc input dim identical (512*4) for all three
+    for s in shapes.values():
+        assert s["fc"]["kernel"].shape == (2048, 7)
