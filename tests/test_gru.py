@@ -9,6 +9,8 @@ import torch
 
 from adafocus_tpu.models.gru import GRUCell, gru_scan
 
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
+
 
 @pytest.fixture(scope="module")
 def cell_and_torch():

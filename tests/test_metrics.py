@@ -5,6 +5,8 @@ reference cal_map divides by max(n_pos, 1), so an empty class contributes
 AP 0 to the mean (actnet/ops/utils.py:87).
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +16,8 @@ from adafocus_tpu.ops.metrics import (
     multi_hot,
     topk_accuracy,
 )
+
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
 
 
 def test_topk_accuracy_hand_example():

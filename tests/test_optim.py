@@ -3,6 +3,8 @@
 every sth-sth stage, e.g. stage1.py:192-196) walked over a real flax
 TSM-ResNet tree, plus the partial-BN interplay (tsn.py:146-162)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -13,6 +15,8 @@ from adafocus_tpu.train.optim import (
     make_stage_optimizer,
     tsn_param_labels,
 )
+
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
 
 
 def _focuser_params():

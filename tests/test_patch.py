@@ -8,6 +8,8 @@ import pytest
 
 from adafocus_tpu.ops import patch as patch_ops
 
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
+
 
 def test_patch_offsets_edges():
     # reference math: floor(a * (S - P)); a=1.0 -> S-P (last valid offset)

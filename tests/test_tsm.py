@@ -2,10 +2,14 @@
 re-derived here in numpy (modeled on the reference's own __main__ equivalence
 test at temporal_shift.py:154-202)."""
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
 from adafocus_tpu.models.tsm import temporal_shift
+
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
 
 
 def reference_shift(x, n_frames, shift_div):

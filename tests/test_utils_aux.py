@@ -11,6 +11,8 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.smoke  # fast CPU tier: `pytest -m smoke`
+
 # ---------------------------------------------------------------------------
 # torch weight conversion
 # ---------------------------------------------------------------------------
