@@ -280,6 +280,44 @@ class Harness:
                 f"frontier/rl_K{k}", rl + "_s2",
                 b + [f"model.frame_budget={k}", "model.plus_rl=true"])
 
+    def phase_hard(self):
+        """The spatially-demanding operating point: glance_size drops so
+        the downsampled glance can no longer resolve the ~8px motif cells
+        that carry class identity (at 224->96 they shrink to ~3.4px, below
+        the MobileNet stem's resolving power) while still showing WHERE the
+        marked target tile is; only the full-res 96^2 patch reads the
+        motif. Patch location now matters — oracle >> random — giving
+        stage-2's PPO real reward signal. This is the regime the reference
+        is built for (cheap global scan -> localize -> expensive local
+        look, README.md:28-30): the default glance_size=224 bracket
+        saturates on miniact because the glancer solves the task alone."""
+        g = 8 if self.args.tiny else 96
+        hb = [o for o in self.base
+              if not o.startswith("model.glance_size=")]
+        hb += [f"model.glance_size={g}"]
+        e = self.epochs
+        print(f"[hard] stage 1 (joint, random patches, glance {g})")
+        self.results["hard/s1"] = self.train(
+            "h1", hb + ["run.stage=1", f"run.epochs={e['s1']}",
+                        f"run.warm_start={self.ck('s0')}"])
+        print("[hard] stage 2 (spatial PPO)")
+        self.results["hard/s2"] = self.train(
+            "h2", hb + ["run.stage=2", f"run.epochs={e['s2']}",
+                        f"run.warm_start={self.ck('h1')}"])
+        print("[hard] stage 3 (classifier finetune, frozen greedy policy)")
+        self.results["hard/s3"] = self.train(
+            "h3", hb + ["run.stage=3", f"run.epochs={e['s3']}",
+                        f"run.warm_start={self.ck('h2')}"])
+        self.save()
+        gt = os.path.join(self.args.dataset, "gt.npz")
+        for mode in ("learned", "random", "center", "oracle"):
+            ov = hb + [f"run.eval_policy={mode}", "run.anytime_eval=true"]
+            if mode == "oracle":
+                ov.append(f"run.oracle_gt={gt}")
+            print(f"[hard] eval_policy={mode}")
+            self.evaluate(f"hard/{mode}", "h3", ov)
+        self.save()
+
     def phase_sthsth(self):
         b = [o for o in self.base
              if not o.startswith(("model.num_frames",))]
@@ -323,6 +361,14 @@ class Harness:
                     lines.append(f"| {mode} | {row(f'eval/{mode}')} |")
         if "eval/int8" in r:
             lines.append(f"| learned (int8) | {row('eval/int8')} |")
+        hard = [k for k in r if k.startswith("hard/") and "/" in k
+                and isinstance(r[k], dict)]
+        if hard:
+            lines += ["", "| hard (glance 96) policy | mAP | top-1 |",
+                      "|---|---|---|"]
+            for mode in ("oracle", "learned", "random", "center"):
+                if f"hard/{mode}" in r:
+                    lines.append(f"| {mode} | {row(f'hard/{mode}')} |")
         front = [k for k in r if k.startswith("frontier/")]
         if front:
             lines += ["", "| AdaFocus+ | mAP | top-1 |", "|---|---|---|"]
