@@ -24,6 +24,13 @@ Runs (resumable; each phase skipped when its artifacts exist):
                 (reference sthsth/stage2.py:214-286,
                 models/ppo_continuous.py:142-196) — with the same
                 learned/random/center/oracle eval bracket.
+  7. hard       stages 1-3 + the eval bracket at the spatially-demanding
+                operating point (glance 96² — the glance shows WHERE the
+                target is but cannot read class identity). The default
+                224²-glance brackets saturate (the glancer alone solves
+                miniact); this is where policy quality is measurable.
+  8. sthhard    same hard operating point for the sth-sth continuous
+                divisional PPO.
 
 Each training/eval runs as a subprocess of the real CLIs (cli/train.py,
 cli/evaluate.py) — this harness only sequences them and collects numbers
@@ -343,6 +350,39 @@ class Harness:
             self.evaluate(f"sthsth/{mode}", "sth2", ov)
         self.save()
 
+    def phase_sthhard(self):
+        """sth-sth family at the spatially-demanding operating point
+        (glance 96², see phase_hard): the continuous per-division Gaussian
+        PPO (reference sthsth/models/ppo_continuous.py:142-196) must
+        localize the marked tile from a glance that cannot read motifs.
+        The default-glance sth-sth bracket saturates just like actnet's
+        (oracle headroom ~2 mAP); this is the bracket where the policy's
+        quality is measurable."""
+        g = 8 if self.args.tiny else 96
+        b = [o for o in self.base
+             if not o.startswith(("model.num_frames",
+                                  "model.glance_size="))]
+        b += self.sth + [f"model.glance_size={g}", "run.family=sthsth",
+                         "model.tsm=true", "model.classifier=consensus",
+                         "model.continuous_policy=true"]
+        e = self.epochs
+        print(f"[sthhard] stage 1 (TSM joint, random patches, glance {g})")
+        self.results["sthhard/s1"] = self.train(
+            "sh1", b + ["run.stage=1", f"run.epochs={e['sth1']}",
+                        f"run.warm_start={self.ck('s0')}"])
+        print("[sthhard] stage 2 (per-division continuous Gaussian PPO)")
+        self.results["sthhard/s2"] = self.train(
+            "sh2", b + ["run.stage=2", f"run.epochs={e['sth2']}",
+                        f"run.warm_start={self.ck('sh1')}"])
+        gt = os.path.join(self.args.dataset, "gt.npz")
+        for mode in ("learned", "random", "center", "oracle"):
+            ov = b + [f"run.eval_policy={mode}"]
+            if mode == "oracle":
+                ov.append(f"run.oracle_gt={gt}")
+            print(f"[sthhard] eval_policy={mode}")
+            self.evaluate(f"sthhard/{mode}", "sh2", ov)
+        self.save()
+
     # -- reporting ----------------------------------------------------------
 
     def report(self):
@@ -374,6 +414,14 @@ class Harness:
             lines += ["", "| AdaFocus+ | mAP | top-1 |", "|---|---|---|"]
             for key in sorted(front):
                 lines.append(f"| {key[9:]} | {row(key)} |")
+        sthh = [k for k in r if k.startswith("sthhard/")
+                and isinstance(r[k], dict)]
+        if sthh:
+            lines += ["", "| sth-sth hard (glance 96) policy | mAP | top-1 |",
+                      "|---|---|---|"]
+            for mode in ("oracle", "learned", "random", "center"):
+                if f"sthhard/{mode}" in r:
+                    lines.append(f"| {mode} | {row(f'sthhard/{mode}')} |")
         sth = [k for k in r if k.startswith("sthsth/")]
         if sth:
             lines += ["", "| sth-sth policy | mAP | top-1 |", "|---|---|---|"]
@@ -393,7 +441,7 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke profile (tiny dataset + model)")
     ap.add_argument("--phases",
-                    default="dataset,base,baselines,int8,sthsth,frontier")
+                    default="dataset,base,baselines,hard,int8,sthsth,sthhard,frontier")
     args = ap.parse_args(argv)
     h = Harness(args)
     for phase in args.phases.split(","):
