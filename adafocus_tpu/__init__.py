@@ -29,7 +29,7 @@ def enable_compilation_cache(cache_dir: str = "") -> None:
     is a large quality-of-life lever; call before the first jit (and after
     any ``jax_platforms`` override — the decision is platform-keyed).
 
-    The cache is NOT enabled when XLA:CPU is in the platform list:
+    The cache is NOT enabled when XLA:CPU is the PRIMARY platform:
     XLA:CPU cache entries are machine-code (AOT) artifacts whose embedded
     feature list includes tuning pseudo-features (``+prefer-no-scatter``,
     ``+prefer-no-gather``) that never match the host-feature check on
@@ -39,7 +39,15 @@ def enable_compilation_cache(cache_dir: str = "") -> None:
     re-read by the same process on the same machine trips the mismatch.
     CPU runs (virtual-mesh dryruns, debug) therefore always compile JIT.
     TPU compiles in the shared dir are serialized HLO keyed by backend, so
-    they are unaffected."""
+    they are unaffected.
+
+    Only the FIRST platform in ``jax_platforms`` decides: in this
+    environment the resolved list is ``"axon,cpu"`` (the runtime appends a
+    CPU fallback), and a substring test against it silently disabled the
+    cache for every TPU run — all big compiles (>1 s) in a TPU-primary
+    process are TPU programs, while the hazardous XLA:CPU AOT entries come
+    from CPU-primary processes (``JAX_PLATFORMS=cpu`` dryruns/tests),
+    which this guard still excludes."""
     import os
 
     import jax
@@ -48,7 +56,7 @@ def enable_compilation_cache(cache_dir: str = "") -> None:
         platforms = jax.config.jax_platforms or ""
     except AttributeError:
         platforms = ""
-    if "cpu" in platforms:
+    if platforms.split(",")[0].strip() == "cpu":
         return
     path = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

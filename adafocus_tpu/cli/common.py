@@ -52,9 +52,9 @@ def apply_platform(run_cfg) -> None:
         ).strip()
     if run_cfg.platform:
         jax.config.update("jax_platforms", run_cfg.platform)
-    # after the platform override: the persistent cache dir is
-    # platform-keyed (CPU artifacts are machine-specific, see
-    # adafocus_tpu._cpu_cache_key)
+    # after the platform override: the cache-enable decision is keyed on
+    # the primary platform (CPU-primary runs stay uncached — their AOT
+    # artifacts are machine-specific; see enable_compilation_cache)
     adafocus_tpu.enable_compilation_cache()
     if getattr(run_cfg, "multihost", False):
         # multi-host slice: one process per host (replaces the reference's

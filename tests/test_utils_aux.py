@@ -293,3 +293,34 @@ def test_step_timer():
     t.data_ready()
     t.step_done(jnp.zeros(()))
     assert t.count == 1 and "ms/step" in t.summary()
+
+
+def test_compilation_cache_enable_keyed_on_primary_platform(tmp_path):
+    """The persistent-cache guard must trip on CPU-PRIMARY platform lists
+    only. This environment resolves ``jax_platforms`` to ``"axon,cpu"``
+    (runtime-appended CPU fallback); a substring test silently disabled
+    the cache for every TPU run (regression: round 4)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import jax, adafocus_tpu, sys\n"
+        "jax.config.update('jax_platforms', sys.argv[1])\n"
+        "adafocus_tpu.enable_compilation_cache(sys.argv[2])\n"
+        "print(jax.config.jax_compilation_cache_dir)\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(platforms):
+        out = subprocess.run(
+            [sys.executable, "-c", script, platforms, str(tmp_path)],
+            capture_output=True, text=True, timeout=120, env=env, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip()
+
+    assert run("cpu") == "None"            # CPU-primary: stays uncached
+    assert run("cpu,tpu") == "None"        # still CPU-primary
+    assert run("tpu,cpu") == str(tmp_path)  # accelerator-primary: cached
