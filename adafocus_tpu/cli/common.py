@@ -30,8 +30,10 @@ from adafocus_tpu.data.records import VideoRecord, parse_list_file, return_datas
 from adafocus_tpu.data.transforms import (
     AugmentConfig,
     augment_eval,
+    augment_eval_views,
     augment_train,
     glance_downsample,
+    num_eval_views,
 )
 from adafocus_tpu.models.gfv import GFV
 from adafocus_tpu.ops.patch import pad_for_extraction
@@ -157,16 +159,29 @@ def make_batch_prep(cfg: ExperimentConfig, train: bool) -> Callable:
     aug = cfg.augment
     family = cfg.run.family
 
+    n_views = 1 if train else num_eval_views(aug)
+
+    def expand_views(frames):
+        """(B,T,H,W,C) -> (B*V, T, S, S, C): test-time multi-crop views
+        (GroupOverSample/GroupFullResSample), view-minor so validate()'s
+        per-video softmax consensus groups them with the clips."""
+        out = augment_eval_views(frames, aug)
+        return out.reshape((-1,) + out.shape[2:])
+
     def prep(raw_frames, raw_focuser, labels, rng):
         k1, k2 = jax.random.split(rng)
         if train:
             big = augment_train(raw_frames, k1, aug)
+        elif n_views > 1:
+            big = expand_views(raw_frames)
         else:
             big = augment_eval(raw_frames, aug)
         small = glance_downsample(big, model_cfg.glance_size)
         if family == "sthsth":
             if train:
                 focus = augment_train(raw_focuser, k2, aug)
+            elif n_views > 1:
+                focus = expand_views(raw_focuser)
             else:
                 focus = augment_eval(raw_focuser, aug)
         else:
@@ -204,6 +219,7 @@ def make_batch_prep(cfg: ExperimentConfig, train: bool) -> Callable:
             if kf != k:
                 raise ValueError(
                     f"clip counts differ between streams: {k} vs {kf}")
+            k *= n_views  # crop views consensus-average like clips
             if k > 1:
                 labels_train = jnp.repeat(labels_train, k)
         batch = prep(g_frames, f_frames, labels_train.astype(jnp.int32), rng)

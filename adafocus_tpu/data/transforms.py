@@ -42,6 +42,11 @@ class AugmentConfig:
     flip: bool = True              # sth-sth disables flip (label semantics)
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
+    # test-time crop strategy: 'center' (GroupCenterCrop), 'oversample'
+    # (GroupOverSample: 4 corners + center, transforms.py:96-132), or
+    # 'full_res' (GroupFullResSample: left/center/right, :135-177); the
+    # non-center modes add a mirrored copy per crop when ``flip`` is set
+    eval_crops: str = "center"
 
 
 def normalize(images: jax.Array, cfg: AugmentConfig, dtype=jnp.float32) -> jax.Array:
@@ -145,6 +150,49 @@ def augment_eval(videos: jax.Array, cfg: AugmentConfig) -> jax.Array:
     y0, x0 = (h - s) // 2, (w - s) // 2
     out = videos[:, :, y0 : y0 + s, x0 : x0 + s, :]
     return normalize(out, cfg)
+
+
+def eval_crop_offsets(h: int, w: int, s: int, mode: str):
+    """Static (y0, x0) anchors for the test-time crop menu. 'oversample' =
+    fill_fix_offset(False): 4 corners + center (reference
+    transforms.py:114,255-263); 'full_res' = left/right/center at the
+    vertical midline (:153-159); 'center' = the GroupCenterCrop point.
+    Quarter steps of the residual span, as the reference computes them."""
+    h_step, w_step = (h - s) // 4, (w - s) // 4
+    if mode == "center":
+        return [((h - s) // 2, (w - s) // 2)]
+    if mode == "oversample":
+        quarters = [(0, 0), (0, 4), (4, 0), (4, 4), (2, 2)]
+    elif mode == "full_res":
+        quarters = [(2, 0), (2, 4), (2, 2)]
+    else:
+        raise ValueError(f"unknown eval_crops mode {mode!r}")
+    return [(hq * h_step, wq * w_step) for hq, wq in quarters]
+
+
+def num_eval_views(cfg: AugmentConfig) -> int:
+    """How many test-time views ``augment_eval_views`` produces."""
+    n = len(eval_crop_offsets(8, 8, 0, cfg.eval_crops))
+    return n * 2 if (cfg.flip and cfg.eval_crops != "center") else n
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def augment_eval_views(videos: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """(B, T, H, W, C) uint8 canvases -> (B, V, T, S, S, C) normalized f32:
+    the GroupOverSample / GroupFullResSample test-time multi-crop
+    (reference transforms.py:96-177), TPU-native — every view is a static
+    slice (+ optional mirror) of the already-resident canvas, stacked into
+    one batch so the whole view fan evaluates in a single program. The
+    per-view softmax consensus happens in validate()'s multi-clip path."""
+    s = cfg.input_size
+    views = []
+    for y0, x0 in eval_crop_offsets(
+            videos.shape[2], videos.shape[3], s, cfg.eval_crops):
+        crop = videos[:, :, y0:y0 + s, x0:x0 + s, :]
+        views.append(crop)
+        if cfg.flip and cfg.eval_crops != "center":
+            views.append(crop[:, :, :, ::-1, :])
+    return normalize(jnp.stack(views, axis=1), cfg)
 
 
 def glance_downsample(frames: jax.Array, glance_size: int) -> jax.Array:

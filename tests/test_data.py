@@ -167,6 +167,82 @@ def test_augment_eval_center_crop():
     assert np.allclose(np.asarray(out), np.asarray(out)[0, 0, 0, 0])
 
 
+def test_eval_crop_offsets_match_reference_math():
+    """Anchor menus vs the reference's fill_fix_offset(False,...) corners+
+    center (transforms.py:255-263) and GroupFullResSample's left/right/
+    center (:153-159), quarter-stepped."""
+    from adafocus_tpu.data.transforms import eval_crop_offsets
+
+    h, w, s = 256, 320, 224
+    hs, ws = (h - s) // 4, (w - s) // 4
+    assert eval_crop_offsets(h, w, s, "oversample") == [
+        (0, 0), (0, 4 * ws), (4 * hs, 0), (4 * hs, 4 * ws), (2 * hs, 2 * ws)]
+    assert eval_crop_offsets(h, w, s, "full_res") == [
+        (2 * hs, 0), (2 * hs, 4 * ws), (2 * hs, 2 * ws)]
+    assert eval_crop_offsets(h, w, s, "center") == [((h - s) // 2,
+                                                     (w - s) // 2)]
+    with pytest.raises(ValueError):
+        eval_crop_offsets(h, w, s, "diag")
+
+
+def test_augment_eval_views_oversample():
+    """10 views = 5 anchors x (crop, mirror); each view is exactly the
+    normalized static slice of the canvas."""
+    from adafocus_tpu.data.transforms import (
+        augment_eval_views, eval_crop_offsets, num_eval_views,
+    )
+
+    cfg = AugmentConfig(input_size=8, eval_crops="oversample", flip=True)
+    rng = np.random.default_rng(3)
+    videos = rng.integers(0, 256, (2, 3, 16, 16, 3), np.uint8)
+    assert num_eval_views(cfg) == 10
+    out = np.asarray(augment_eval_views(jnp.asarray(videos), cfg))
+    assert out.shape == (2, 10, 3, 8, 8, 3)
+    ref = np.asarray(normalize(jnp.asarray(videos, jnp.float32), cfg))
+    for i, (y0, x0) in enumerate(eval_crop_offsets(16, 16, 8, "oversample")):
+        crop = ref[:, :, y0:y0 + 8, x0:x0 + 8, :]
+        np.testing.assert_allclose(out[:, 2 * i], crop, atol=1e-6)
+        np.testing.assert_allclose(out[:, 2 * i + 1], crop[:, :, :, ::-1, :],
+                                   atol=1e-6)
+
+
+def test_augment_eval_views_full_res_no_flip():
+    from adafocus_tpu.data.transforms import augment_eval_views, num_eval_views
+
+    cfg = AugmentConfig(input_size=4, eval_crops="full_res", flip=False)
+    videos = np.zeros((1, 2, 8, 8, 3), np.uint8)
+    assert num_eval_views(cfg) == 3
+    out = augment_eval_views(jnp.asarray(videos), cfg)
+    assert out.shape == (1, 3, 2, 4, 4, 3)
+
+
+def test_batch_prep_oversample_views():
+    """make_batch_prep folds the view fan into the clip-consensus k: the
+    prepared batch carries B*V rows, labels repeated per view."""
+    from adafocus_tpu.cli.common import make_batch_prep
+    from adafocus_tpu.config import load_config
+
+    cfg = load_config(None, [
+        "model.num_classes=5", "model.num_frames=2", "model.image_size=16",
+        "model.glance_size=8", "model.patch_size=8", "model.action_dim=4",
+        "model.dtype=float32", "loader.canvas_size=24",
+        "augment.eval_crops=oversample", "run.dataset=actnet",
+    ])
+    assert cfg.augment.eval_crops == "oversample"
+    prep = make_batch_prep(cfg, train=False)
+    raw = {
+        "frames": np.zeros((2, 2, 24, 24, 3), np.uint8),
+        "labels": np.asarray([1, 3]),
+    }
+    batch, labels, k = prep(raw, jax.random.key(0))
+    assert k == 10
+    assert batch["frames_small"].shape[0] == 20
+    assert batch["frames_flat"].shape[:2] == (20, 2)
+    np.testing.assert_array_equal(np.asarray(batch["labels"][:10]), 1)
+    np.testing.assert_array_equal(np.asarray(batch["labels"][10:]), 3)
+    np.testing.assert_array_equal(labels, [1, 3])
+
+
 def test_glance_downsample():
     x = jnp.ones((2, 3, 16, 16, 3))
     out = glance_downsample(x, 8)
