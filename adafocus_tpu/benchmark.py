@@ -57,7 +57,8 @@ def _inference_fn(model: GFV, fused: str = "auto"):
     return fn
 
 
-def _inference_fn_q8(model: GFV, state, seed: int = 0):
+def _inference_fn_q8(model: GFV, state, seed: int = 0,
+                     heads: bool = False):
     """int8-PTQ deployment fn: calibrates activation scales on random
     deployment-shaped data (scale VALUES are irrelevant to throughput; the
     quality story is pinned by tests/test_quant.py on calibrated real
@@ -65,7 +66,9 @@ def _inference_fn_q8(model: GFV, state, seed: int = 0):
     (``prepare_q8``) — as compile-time constants, exactly what the AOT
     export artifact serves (serving.export_inference). Without the cache,
     batch-1 serving re-folds + re-quantizes every weight per call
-    (measured 0.84x bf16 at bs=1 — PERF.md)."""
+    (measured 0.84x bf16 at bs=1 — PERF.md). ``heads``: quantize the
+    policy/classifier heads too (off by default — the serving default
+    keeps heads bf16 for accuracy; see calibrate_gfv)."""
     from adafocus_tpu.models.quant_inference import (
         calibrate_gfv, inference_q8, inference_q8_plus, inference_q8_sthsth,
         prepare_q8,
@@ -82,7 +85,7 @@ def _inference_fn_q8(model: GFV, state, seed: int = 0):
             k2, (2 * cfg.t_focuser, cfg.patch_size, cfg.patch_size, 3),
             jnp.float32),
     }
-    scales = calibrate_gfv(model, variables, [calib])
+    scales = calibrate_gfv(model, variables, [calib], heads=heads)
     qw = prepare_q8(model, variables, scales)
     if cfg.frame_budget > 0:
         fam = inference_q8_plus
@@ -109,18 +112,20 @@ def time_inference(
 ) -> float:
     """Best-of-``repeats`` videos/sec for the deployment forward.
 
-    mode: 'bf16' (production path) or 'int8' (PTQ serving path,
-    models/quant_inference.py)."""
+    mode: 'bf16' (production path), 'int8' (PTQ serving path — int8
+    backbones + transport, bf16 heads; models/quant_inference.py) or
+    'int8+heads' (heads quantized too: measured throughput-neutral,
+    −4.5 top-1 — kept measurable, not the serving default)."""
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
     data = make_data(cfg, batch)
-    if mode == "int8":
+    if mode in ("int8", "int8+heads"):
         # serving transport format: frames move through HBM as int8 (half
         # the extraction DMA), dequantized inside the backbone stems
         from adafocus_tpu.ops.quant import quantize_frames
 
         data = {k: quantize_frames(v) for k, v in data.items()}
-        fn = _inference_fn_q8(model, state, seed)
+        fn = _inference_fn_q8(model, state, seed, heads=mode == "int8+heads")
     else:
         fn = _inference_fn(model)
 

@@ -124,7 +124,8 @@ def calibrate_from_loader(model, state, loader, prep, cfg, rng, n_batches):
                         "patches": np.asarray(patches, np.float32)})
     if not batches:
         raise SystemExit("run.quantize: no validation batches to calibrate on")
-    return calibrate_gfv(model, variables, batches)
+    return calibrate_gfv(model, variables, batches,
+                         heads=cfg.run.quantize_heads)
 
 
 def make_eval_step_forced(model, mode: str):

@@ -61,6 +61,10 @@ class RunConfig:
                                   # calibrates on quantize_batches val
                                   # batches, then runs the int8 forward)
     quantize_batches: int = 4     # calibration batches for run.quantize
+    quantize_heads: bool = False  # also quantize policy/classifier heads:
+                                  # measured throughput-neutral but
+                                  # −4.5 top-1 (PERF.md round 4) — the
+                                  # serving default keeps heads bf16
 
 
 @dataclasses.dataclass(frozen=True)

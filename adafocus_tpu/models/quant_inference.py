@@ -200,14 +200,27 @@ def calibrate_backbone(kind, variables, batches, n_frames=0,
 # ---------------------------------------------------------------------------
 
 
-def calibrate_gfv(model, variables, batches) -> Dict[str, Dict[str, jax.Array]]:
-    """Calibrate both backbones from deployment-shaped batches.
+def calibrate_gfv(model, variables, batches,
+                  heads: bool = False) -> Dict[str, Dict[str, jax.Array]]:
+    """Calibrate the backbones (and optionally the heads) from
+    deployment-shaped batches.
 
     batches: iterable of dicts with 'frames_small' (B, T, g, g, 3) and
     'patches' (N, P, P, 3) — run a few eval batches through
     ``glance_policy_actions`` + ``extract_for_frames`` to produce patches
     (see tests/test_quant.py for the recipe). Returns
-    {'glancer': scales, 'focuser': scales}.
+    {'glancer': scales, 'focuser': scales} plus, with ``heads=True``, a
+    'heads' entry that makes the ``inference_q8*`` entry points quantize
+    the policy/classifier heads too.
+
+    ``heads`` defaults to OFF because it is the measured accuracy/perf
+    trade: int8 backbones alone are accuracy-neutral (mini-ActivityNet
+    mAP 0.956 vs bf16 0.954) and carry essentially all of the int8
+    throughput win, while quantized heads were measured throughput-NEUTRAL
+    end-to-end (XLA hides the head phases behind the backbone convs) yet
+    cost −4.5 top-1 / −2.0 mAP even with per-input-channel activation
+    scales (the GRU's fused 3328-dim input has abs-max ~572 outlier
+    channels; benchmarks/diag_int8*.json, PERF.md round 4).
     """
     cfg = model.cfg
     g_batches, f_batches = [], []
@@ -215,15 +228,17 @@ def calibrate_gfv(model, variables, batches) -> Dict[str, Dict[str, jax.Array]]:
         fs = b["frames_small"]
         g_batches.append(fs.reshape((-1,) + fs.shape[2:]))
         f_batches.append(b["patches"])
-    return {
+    scales = {
         "glancer": calibrate_backbone(
             "mbv2", _subtree(variables, "glancer"), g_batches,
             n_frames=cfg.num_frames if cfg.tsm else 0, dtype=cfg.dtype),
         "focuser": calibrate_backbone(
             "resnet", _subtree(variables, "focuser"), f_batches,
             n_frames=cfg.t_focuser if cfg.tsm else 0, dtype=cfg.dtype),
-        "heads": calibrate_heads(model, variables, batches),
     }
+    if heads:
+        scales["heads"] = calibrate_heads(model, variables, batches)
+    return scales
 
 
 def q8_glance(model, variables, scales, frames_small, qw=None):

@@ -31,6 +31,9 @@ BASE_OVERRIDES = [
     "model.remat=true",
     "loader.batch_size=32", "loader.canvas_size=256",
     "loader.cache=device",
+    # the diagnostic needs head scales to toggle head variants; the
+    # serving default (run.quantize_heads=false) omits them
+    "run.quantize_heads=true",
 ]
 
 

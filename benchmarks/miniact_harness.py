@@ -248,10 +248,17 @@ class Harness:
             self.evaluate(f"eval/{mode}", "s3", ov)
 
     def phase_int8(self):
-        print("[int8] PTQ eval on the learned checkpoint")
+        print("[int8] PTQ eval on the learned checkpoint (serving default: "
+              "int8 backbones + transport, bf16 heads)")
         self.evaluate(
             "eval/int8", "s3",
             self.base + ["run.quantize=int8", "run.quantize_batches=4"])
+        print("[int8] PTQ eval with quantized heads (opt-in: measured "
+              "throughput-neutral, -4.5 top-1 — PERF.md round 4)")
+        self.evaluate(
+            "eval/int8_heads", "s3",
+            self.base + ["run.quantize=int8", "run.quantize_batches=4",
+                         "run.quantize_heads=true"])
 
     def phase_frontier(self):
         b, e = self.base, self.epochs
@@ -401,6 +408,9 @@ class Harness:
                     lines.append(f"| {mode} | {row(f'eval/{mode}')} |")
         if "eval/int8" in r:
             lines.append(f"| learned (int8) | {row('eval/int8')} |")
+        if "eval/int8_heads" in r:
+            lines.append(
+                f"| learned (int8+heads) | {row('eval/int8_heads')} |")
         hard = [k for k in r if k.startswith("hard/") and "/" in k
                 and isinstance(r[k], dict)]
         if hard:

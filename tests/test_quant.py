@@ -116,7 +116,8 @@ def test_inference_q8_end_to_end():
     patches = extract_for_frames(flat, roll["actions"], cfg.image_size,
                                  cfg.patch_size)
     scales = calibrate_gfv(model, variables,
-                           [{"frames_small": small, "patches": patches}])
+                           [{"frames_small": small, "patches": patches}],
+                           heads=True)
     ref = inference(model, variables, flat, small, rng, fused="off")
     out = inference_q8(model, variables, scales, flat, small, rng)
     assert out.shape == ref.shape
@@ -147,7 +148,8 @@ def test_inference_q8_plus_end_to_end(plus_rl):
     patches = jax.random.normal(
         jax.random.key(10), (2 * cfg.frame_budget, 16, 16, 3), jnp.float32)
     scales = calibrate_gfv(model, variables,
-                           [{"frames_small": small, "patches": patches}])
+                           [{"frames_small": small, "patches": patches}],
+                           heads=True)
     ref = inference_plus(model, variables, flat, small, rng)
     out = inference_q8_plus(model, variables, scales, flat, small, rng)
     assert out.shape == ref.shape
@@ -190,7 +192,8 @@ def test_inference_q8_sthsth_end_to_end():
     patches = extract_for_frames(flat, actions, cfg.image_size,
                                  cfg.patch_size)
     scales = calibrate_gfv(model, variables,
-                           [{"frames_small": small, "patches": patches}])
+                           [{"frames_small": small, "patches": patches}],
+                           heads=True)
     ref = inference_sthsth(model, variables, flat, small, rng, fused="off")
     out = inference_q8_sthsth(model, variables, scales, flat, small, rng)
     assert out.shape == ref.shape
@@ -214,7 +217,8 @@ def test_calibrate_gfv_includes_head_scales():
     patches = jax.random.normal(
         jax.random.key(2), (2 * cfg.num_frames, 16, 16, 3), jnp.float32)
     scales = calibrate_gfv(model, variables,
-                           [{"frames_small": small, "patches": patches}])
+                           [{"frames_small": small, "patches": patches}],
+                           heads=True)
     heads = scales["heads"]
     for name in ("policy/proj", "policy/fc", "policy/gru/x", "policy/gru/h",
                  "policy/actor", "policy/critic", "cls/gru/x", "cls/gru/h",
@@ -223,6 +227,41 @@ def test_calibrate_gfv_includes_head_scales():
         # head matmul scales are per-INPUT-channel vectors (outlier
         # channels in concatenated GAP features — _HeadRunner docstring)
         assert np.all(np.asarray(heads[name]) > 0), name
+
+
+@pytest.mark.smoke
+def test_calibrate_gfv_default_is_backbone_only():
+    """The serving default quantizes the backbones only: heads stay bf16
+    (measured accuracy-neutral vs bf16 at equal throughput — PERF.md
+    round 4), so calibrate_gfv omits 'heads' and the q8 forward routes
+    the policy/classifier through the regular flax path."""
+    from adafocus_tpu.models.gfv import (
+        extract_for_frames, glance_policy_actions,
+    )
+    from adafocus_tpu.models.quant_inference import inference_q8
+
+    cfg = GFVConfig(num_classes=5, num_frames=2, image_size=32,
+                    glance_size=32, patch_size=16, action_dim=4,
+                    hidden_dim=16, policy_hidden=16, dtype=jnp.float32)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), batch_size=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    frames = jax.random.normal(
+        jax.random.key(7), (2 * cfg.num_frames, 32, 32, 3), jnp.float32)
+    flat = pad_for_extraction(frames).reshape(2, cfg.num_frames, 32, -1)
+    small = jax.random.normal(
+        jax.random.key(8), (2, cfg.num_frames, 32, 32, 3), jnp.float32)
+    rng = jax.random.key(9)
+    _, _, roll = glance_policy_actions(model, variables, small, rng)
+    patches = extract_for_frames(flat, roll["actions"], cfg.image_size,
+                                 cfg.patch_size)
+    scales = calibrate_gfv(model, variables,
+                           [{"frames_small": small, "patches": patches}])
+    assert "heads" not in scales
+    ref = inference(model, variables, flat, small, rng, fused="off")
+    out = inference_q8(model, variables, scales, flat, small, rng)
+    assert out.shape == ref.shape
+    assert _cosine(out, ref) > 0.95, _cosine(out, ref)
 
 
 def test_head_runner_record_mode_matches_flax_gru():
@@ -290,7 +329,8 @@ def test_inference_q8_int8_frame_transport():
         model, variables,
         [{"frames_small": small,
           "patches": jax.random.normal(jax.random.key(10),
-                                       (2 * cfg.num_frames, 16, 16, 3))}])
+                                       (2 * cfg.num_frames, 16, 16, 3))}],
+        heads=True)
     out_f = inference_q8(model, variables, scales, flat, small, rng)
     out_q = inference_q8(model, variables, scales, quantize_frames(flat),
                          quantize_frames(small), rng)
@@ -326,7 +366,8 @@ def test_prepare_q8_cache_matches_uncached_and_survives_jit():
     patches = extract_for_frames(flat, roll["actions"], cfg.image_size,
                                  cfg.patch_size)
     scales = calibrate_gfv(model, variables,
-                           [{"frames_small": small, "patches": patches}])
+                           [{"frames_small": small, "patches": patches}],
+                           heads=True)
 
     qw = prepare_q8(model, variables, scales)
     assert qw["glancer"] and qw["focuser"] and qw["heads"]
