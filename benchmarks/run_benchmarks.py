@@ -125,6 +125,11 @@ def main() -> None:
             if "gflops" in ref:
                 row["ref_gflops"] = ref["gflops"]
             if args.int8:
+                # mode='int8' = the serving default: int8 backbones + int8
+                # frame transport, bf16 heads (head quantization is
+                # throughput-neutral but -4.5 top-1; bench_int8_modes.py
+                # measures the 'int8+heads' opt-in)
+                row["int8_mode"] = "backbones+transport, bf16 heads"
                 row["videos_per_sec_int8"] = round(
                     time_inference(model, batch=args.batch, inner_iters=inner,
                                    repeats=repeats, mode="int8"), 1)
