@@ -211,14 +211,19 @@ def sample_continuous(
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample from N(mean, std^2 I), clamp to [0,1]; returns (action, logprob).
 
-    Logprob is computed for the *unclamped* Gaussian sample, matching the
-    reference's double-ReLU clamp after logprob evaluation
-    (sthsth/models/ppo_continuous.py:95-105).
+    The reference clamps FIRST and evaluates the behavior logprob on the
+    clamped action (sthsth/models/ppo_continuous.py:99-105: double-ReLU
+    clamp, then ``dist.log_prob(action)``); its ``evaluate`` scores the same
+    stored clamped action (:133), so PPO ratios start at exactly 1. Scoring
+    the raw sample instead (a pre-round-5 bug here) makes the ratio of every
+    clamped sample wrong — at the reference's recipe std of 0.25
+    (train_stage2.sh) a large fraction of samples clamp, which corrupted the
+    continuous policy's updates.
     """
     noise = jax.random.normal(key, mean.shape) * action_std
-    raw = mean + noise
-    logprob = gaussian_logprob(raw, mean, action_std)
-    return jnp.clip(raw, 0.0, 1.0), logprob
+    action = jnp.clip(mean + noise, 0.0, 1.0)
+    logprob = gaussian_logprob(action, mean, action_std)
+    return action, logprob
 
 
 def gaussian_logprob(x: jax.Array, mean: jax.Array, action_std: float) -> jax.Array:

@@ -39,6 +39,7 @@ from adafocus_tpu.ops.metrics import topk_accuracy
 from adafocus_tpu.ops.patch import random_patch_actions
 from adafocus_tpu.ppo.core import (
     PPOConfig,
+    compute_rewards,
     discounted_returns,
     make_policy,
     ppo_update,
@@ -185,20 +186,28 @@ def make_sthsth_stage2_step(
         )
         local_logits = local_frame_logits(model, variables, patches, b)
 
-        base_actions = actions_per_frame(
-            random_patch_actions(base_key, (b, d)), tf
-        )
-        base_patches = extract_for_frames(
-            batch["frames_flat"], base_actions, cfg.image_size, cfg.patch_size,
-            impl=impl,
-        )
-        random_logits = local_frame_logits(model, variables, base_patches, b)
+        if ppo_cfg.reward_mode == "random":
+            base_actions = actions_per_frame(
+                random_patch_actions(base_key, (b, d)), tf
+            )
+            base_patches = extract_for_frames(
+                batch["frames_flat"], base_actions, cfg.image_size,
+                cfg.patch_size, impl=impl,
+            )
+            random_logits = local_frame_logits(model, variables, base_patches, b)
+        else:
+            # 'conf' / 'prev' need no random baseline (actnet get_reward
+            # modes, main_dist.py:574-581, extended to the divisional PPO)
+            random_logits = local_logits
 
         conf, base_conf = divisional_confidences(
             local_logits, random_logits, global_logits, batch["labels"], d,
             cfg.with_glancer,
         )
-        rewards = conf - base_conf                       # (B, D)
+        if ppo_cfg.reward_mode == "random":
+            rewards = conf - base_conf                   # (B, D)
+        else:
+            rewards = compute_rewards(conf, None, ppo_cfg.reward_mode)
         returns = discounted_returns(jnp.swapaxes(rewards, 0, 1),
                                      ppo_cfg.gamma, axis_name=axis_name)
 

@@ -34,19 +34,32 @@ def main() -> None:
 
     inner, repeats = (3, 1) if args.quick else (10, 3)
     results = {}
-    for name, cfg in (("actnet96", actnet_cfg(96)),
-                      ("sthsth144", sthsth_cfg(144))):
-        row = {}
-        for mode in ("bf16", "int8", "int8+heads"):
-            row[mode] = round(time_inference(
-                GFV(cfg), batch=args.batch, inner_iters=inner,
-                repeats=repeats, mode=mode), 1)
-            print(f"{name} {mode}: {row[mode]} videos/s", flush=True)
-        row["int8_vs_bf16"] = round(row["int8"] / row["bf16"], 3)
-        row["heads_vs_default"] = round(row["int8+heads"] / row["int8"], 3)
-        results[name] = row
+
+    def flush():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
+
+    for name, cfg in (("actnet96", actnet_cfg(96)),
+                      ("sthsth144", sthsth_cfg(144))):
+        row = results.setdefault(name, {})
+        for mode in ("bf16", "int8", "int8+heads"):
+            # each mode measured and persisted independently: a hang/OOM in
+            # one mode (round 4 lost the sthsth144 int8+heads point to a
+            # timeout) must not discard the modes already measured
+            try:
+                row[mode] = round(time_inference(
+                    GFV(cfg), batch=args.batch, inner_iters=inner,
+                    repeats=repeats, mode=mode), 1)
+            except Exception as e:  # record the failure, keep going
+                row[mode] = None
+                row[mode + "_error"] = f"{type(e).__name__}: {e}"
+            print(f"{name} {mode}: {row[mode]} videos/s", flush=True)
+            flush()
+        if row.get("bf16") and row.get("int8"):
+            row["int8_vs_bf16"] = round(row["int8"] / row["bf16"], 3)
+        if row.get("int8") and row.get("int8+heads"):
+            row["heads_vs_default"] = round(row["int8+heads"] / row["int8"], 3)
+        flush()
     print(json.dumps(results, indent=1))
 
 

@@ -76,10 +76,10 @@ def profiles(args):
             "loader.cache=host", "run.print_freq=100",
         ]
         epochs = {"s0": 2, "s1": 2, "s2": 2, "s3": 1,
-                  "plus1": 1, "plus2": 1, "sth1": 2, "sth2": 2}
+                  "plus1": 1, "plus2": 1, "sth1": 2, "sth2": 2, "sth3": 1}
         budgets = [2, 4]
         sth = ["model.num_frames=4", "model.num_frames_focuser=4",
-               "model.video_div=2"]
+               "model.video_div=2", "model.action_std=0.25"]
     else:
         gen = ["--classes", "50", "--train-per-class", "24",
                "--val-per-class", "8", "--frames", "16", "--canvas", "256"]
@@ -99,14 +99,17 @@ def profiles(args):
             "run.eval_freq=5",
         ]
         epochs = {"s0": 25, "s1": 20, "s2": 30, "s3": 10,
-                  "plus1": 8, "plus2": 8, "sth1": 20, "sth2": 25}
+                  "plus1": 8, "plus2": 8, "sth1": 20, "sth2": 25, "sth3": 10}
         # two trained budget points (compiles dominate: every K is a
         # distinct XLA program, so each extra budget costs ~2 cold
         # compiles x 2 selector variants); the base eval supplies the
         # K=T=16 end of the frontier
         budgets = [4, 12]
+        # action_std 0.25 is the reference's published stage-2 recipe value
+        # (sthsth/train_stage2.sh action_std=0.25; the conf-yaml default 0.1
+        # was round 4's under-exploring setting)
         sth = ["model.num_frames=8", "model.num_frames_focuser=12",
-               "model.video_div=2"]
+               "model.video_div=2", "model.action_std=0.25"]
     return gen, base, epochs, budgets, sth
 
 
@@ -157,6 +160,7 @@ class Harness:
         self.args = args
         self.gen_args, self.base, self.epochs, self.budgets, self.sth = \
             profiles(args)
+        self.seeds = [int(s) for s in str(args.seeds).split(",") if s]
         self.work = args.workdir
         os.makedirs(self.work, exist_ok=True)
         self.results_path = args.results
@@ -172,6 +176,27 @@ class Harness:
 
     def ck(self, name: str) -> str:
         return os.path.join(self.work, f"ck_{name}")
+
+    def aggregate(self, key: str, seed_keys) -> dict:
+        """mean +- std over per-seed eval rows -> self.results[key]."""
+        import statistics
+
+        present = [k for k in seed_keys if k in self.results]
+        rows = [self.results[k] for k in present]
+        agg = {}
+        for field in ("mAP", "top1", "top5"):
+            xs = [r[field] for r in rows if field in r]
+            if xs:
+                agg[field] = statistics.mean(xs)
+                agg[field + "_std"] = (statistics.pstdev(xs)
+                                       if len(xs) > 1 else 0.0)
+        agg["n_seeds"] = len(rows)
+        agg["per_seed"] = {k.rsplit("@", 1)[-1]: {
+            f: r[f] for f in ("mAP", "top1") if f in r}
+            for k, r in zip(present, rows)}
+        self.results[key] = agg
+        self.save()
+        return agg
 
     def train(self, name: str, overrides) -> float:
         """Train once (skipped if the done-marker exists); returns best acc."""
@@ -246,6 +271,15 @@ class Harness:
                 ov.append(f"run.oracle_gt={gt}")
             print(f"[baselines] eval_policy={mode}")
             self.evaluate(f"eval/{mode}", "s3", ov)
+        # test-time multi-crop fans (reference GroupOverSample /
+        # GroupFullResSample, actnet/ops/transforms.py:255-336): accuracy
+        # delta vs the center-crop learned row above; throughput cost is
+        # benched separately (benchmarks/run_benchmarks.py)
+        for crops in ("oversample", "full_res"):
+            print(f"[baselines] eval_crops={crops}")
+            self.evaluate(
+                f"eval/{crops}", "s3",
+                self.base + [f"augment.eval_crops={crops}"])
 
     def phase_int8(self):
         print("[int8] PTQ eval on the learned checkpoint (serving default: "
@@ -261,38 +295,32 @@ class Harness:
                          "run.quantize_heads=true"])
 
     def phase_frontier(self):
+        """AdaFocus+ accuracy-vs-budget, seed-replicated: the round-4
+        RL-vs-ST margins were +0.24..+0.56 mAP from single runs — thinner
+        than single-run noise — so both selector variants retrain per seed
+        (from the shared base s1) and the reported rows are mean +- std."""
         b, e = self.base, self.epochs
         for k in self.budgets:
-            st = f"plusK{k}"
-            print(f"[frontier] ST selector, K={k}")
-            self.train(
-                st + "_s1",
-                b + [f"model.frame_budget={k}", "run.stage=1",
-                     f"run.epochs={e['plus1']}",
-                     f"run.warm_start={self.ck('s1')}"])
-            self.train(
-                st + "_s2",
-                b + [f"model.frame_budget={k}", "run.stage=2",
-                     f"run.epochs={e['plus2']}",
-                     f"run.warm_start={self.ck(st + '_s1')}"])
-            self.evaluate(
-                f"frontier/st_K{k}", st + "_s2",
-                b + [f"model.frame_budget={k}"])
-            rl = f"plusrlK{k}"
-            print(f"[frontier] joint-RL selector (plus_rl), K={k}")
-            self.train(
-                rl + "_s1",
-                b + [f"model.frame_budget={k}", "model.plus_rl=true",
-                     "run.stage=1", f"run.epochs={e['plus1']}",
-                     f"run.warm_start={self.ck('s1')}"])
-            self.train(
-                rl + "_s2",
-                b + [f"model.frame_budget={k}", "model.plus_rl=true",
-                     "run.stage=2", f"run.epochs={e['plus2']}",
-                     f"run.warm_start={self.ck(rl + '_s1')}"])
-            self.evaluate(
-                f"frontier/rl_K{k}", rl + "_s2",
-                b + [f"model.frame_budget={k}", "model.plus_rl=true"])
+            for tag, extra in (("st", []), ("rl", ["model.plus_rl=true"])):
+                print(f"[frontier] {tag.upper()} selector, K={k}, "
+                      f"seeds {self.seeds}")
+                seed_keys = []
+                for seed in self.seeds:
+                    name = f"plus{tag}K{k}_{seed}"
+                    sb = b + extra + [f"model.frame_budget={k}",
+                                      f"run.seed={seed}"]
+                    self.train(
+                        name + "_s1",
+                        sb + ["run.stage=1", f"run.epochs={e['plus1']}",
+                              f"run.warm_start={self.ck('s1')}"])
+                    self.train(
+                        name + "_s2",
+                        sb + ["run.stage=2", f"run.epochs={e['plus2']}",
+                              f"run.warm_start={self.ck(name + '_s1')}"])
+                    key = f"frontier/{tag}_K{k}@{seed}"
+                    self.evaluate(key, name + "_s2", sb)
+                    seed_keys.append(key)
+                self.aggregate(f"frontier/{tag}_K{k}", seed_keys)
 
     def phase_hard(self):
         """The spatially-demanding operating point: glance_size drops so
@@ -357,37 +385,113 @@ class Harness:
             self.evaluate(f"sthsth/{mode}", "sth2", ov)
         self.save()
 
+    def _sth_hard_base(self):
+        g = 8 if self.args.tiny else 96
+        b = [o for o in self.base
+             if not o.startswith(("model.num_frames",
+                                  "model.glance_size="))]
+        return b + self.sth + [
+            f"model.glance_size={g}", "run.family=sthsth",
+            "model.tsm=true", "model.classifier=consensus",
+            "model.continuous_policy=true"], g
+
+    def phase_sthtune(self):
+        """Stage-2 recipe sweep for the sth-sth continuous divisional PPO
+        at the hard operating point — round 4's bracket showed it barely
+        localizing (15% oracle-gap recovery vs the discrete policy's 57%).
+        Each variant trains sh2 from the SHARED sh1 and is judged by the
+        learned-vs-random margin evaluated directly on the sh2 weights (no
+        stage 3 — the comparison isolates the policy). Swept knobs per the
+        reference recipe space: action_std (train_stage2.sh uses 0.25),
+        video_div (conf/stage2.yaml default is 1 — one action per video),
+        reward mode (actnet get_reward modes on divisional credit)."""
+        b, g = self._sth_hard_base()
+        e = self.epochs
+        print(f"[sthtune] stage 1 (shared with sthhard, glance {g})")
+        self.results["sthhard/s1"] = self.train(
+            "sh1", b + ["run.stage=1", f"run.epochs={e['sth1']}",
+                        f"run.warm_start={self.ck('s0')}"])
+        variants = {
+            # name: (overrides on top of the std-0.25 div-2 default)
+            "std025_div2": [],
+            "std010_div2": ["model.action_std=0.1"],
+            "std050_div2": ["model.action_std=0.5"],
+            "std025_div1": ["model.video_div=1"],
+            "std025_div2_conf": ["ppo.reward_mode=conf"],
+            "std025_div2_prev": ["ppo.reward_mode=prev"],
+        }
+        gt = os.path.join(self.args.dataset, "gt.npz")
+        for name, extra in variants.items():
+            vb = b + extra
+            print(f"[sthtune] variant {name}: stage 2 from shared sh1")
+            self.train(
+                f"tune_{name}",
+                vb + ["run.stage=2", f"run.epochs={e['sth2']}",
+                      f"run.warm_start={self.ck('sh1')}"])
+            for mode in ("learned", "random", "oracle"):
+                ov = vb + [f"run.eval_policy={mode}"]
+                if mode == "oracle":
+                    ov.append(f"run.oracle_gt={gt}")
+                self.evaluate(f"sthtune/{name}/{mode}", f"tune_{name}", ov)
+        self.save()
+
     def phase_sthhard(self):
         """sth-sth family at the spatially-demanding operating point
         (glance 96², see phase_hard): the continuous per-division Gaussian
         PPO (reference sthsth/models/ppo_continuous.py:142-196) must
         localize the marked tile from a glance that cannot read motifs.
-        The default-glance sth-sth bracket saturates just like actnet's
-        (oracle headroom ~2 mAP); this is the bracket where the policy's
-        quality is measurable."""
-        g = 8 if self.args.tiny else 96
-        b = [o for o in self.base
-             if not o.startswith(("model.num_frames",
-                                  "model.glance_size="))]
-        b += self.sth + [f"model.glance_size={g}", "run.family=sthsth",
-                         "model.tsm=true", "model.classifier=consensus",
-                         "model.continuous_policy=true"]
+        The full 3-stage recipe (the reference's stage3.py classifier
+        finetune included), seed-replicated: stage 1 is policy-independent
+        (random patches) and shared; stages 2+3 and the eval bracket rerun
+        per seed; reported rows are mean +- std."""
+        b, g = self._sth_hard_base()
         e = self.epochs
         print(f"[sthhard] stage 1 (TSM joint, random patches, glance {g})")
         self.results["sthhard/s1"] = self.train(
             "sh1", b + ["run.stage=1", f"run.epochs={e['sth1']}",
                         f"run.warm_start={self.ck('s0')}"])
-        print("[sthhard] stage 2 (per-division continuous Gaussian PPO)")
-        self.results["sthhard/s2"] = self.train(
-            "sh2", b + ["run.stage=2", f"run.epochs={e['sth2']}",
-                        f"run.warm_start={self.ck('sh1')}"])
+        # stage 1 is random-patch and recipe-independent; the sthtune
+        # winner's overrides apply to stages 2/3 and the eval bracket
+        b += [o for o in str(self.args.sth_extra).split(",") if o]
         gt = os.path.join(self.args.dataset, "gt.npz")
-        for mode in ("learned", "random", "center", "oracle"):
-            ov = b + [f"run.eval_policy={mode}"]
-            if mode == "oracle":
-                ov.append(f"run.oracle_gt={gt}")
-            print(f"[sthhard] eval_policy={mode}")
-            self.evaluate(f"sthhard/{mode}", "sh2", ov)
+        mode_keys = {m: [] for m in ("learned", "random", "center", "oracle")}
+        for seed in self.seeds:
+            sb = b + [f"run.seed={seed}"]
+            print(f"[sthhard] seed {seed}: stage 2 (per-division continuous "
+                  "Gaussian PPO)")
+            self.results[f"sthhard/s2@{seed}"] = self.train(
+                f"sh2_{seed}",
+                sb + ["run.stage=2", f"run.epochs={e['sth2']}",
+                      f"run.warm_start={self.ck('sh1')}"])
+            print(f"[sthhard] seed {seed}: stage 3 (classifier finetune, "
+                  "frozen greedy policy)")
+            self.results[f"sthhard/s3@{seed}"] = self.train(
+                f"sh3_{seed}",
+                sb + ["run.stage=3", f"run.epochs={e['sth3']}",
+                      f"run.warm_start={self.ck(f'sh2_{seed}')}"])
+            for mode in ("learned", "random", "center", "oracle"):
+                ov = sb + [f"run.eval_policy={mode}"]
+                if mode == "oracle":
+                    ov.append(f"run.oracle_gt={gt}")
+                print(f"[sthhard] seed {seed}: eval_policy={mode}")
+                key = f"sthhard/{mode}@{seed}"
+                self.evaluate(key, f"sh3_{seed}", ov)
+                mode_keys[mode].append(key)
+            self.save()
+        for mode, keys in mode_keys.items():
+            self.aggregate(f"sthhard/{mode}", keys)
+        # oracle-gap recovery per seed: (learned - random)/(oracle - random)
+        rec = []
+        for seed in self.seeds:
+            ln = self.results.get(f"sthhard/learned@{seed}", {})
+            rn = self.results.get(f"sthhard/random@{seed}", {})
+            oc = self.results.get(f"sthhard/oracle@{seed}", {})
+            if all("mAP" in d for d in (ln, rn, oc)) and \
+                    oc["mAP"] > rn["mAP"]:
+                rec.append((ln["mAP"] - rn["mAP"]) / (oc["mAP"] - rn["mAP"]))
+        if rec:
+            self.results["sthhard/oracle_gap_recovery"] = {
+                "per_seed": rec, "mean": sum(rec) / len(rec)}
         self.save()
 
     # -- reporting ----------------------------------------------------------
@@ -398,19 +502,28 @@ class Harness:
 
         def row(key):
             d = r.get(key, {})
-            return (f"{d.get('mAP', float('nan')):.4f} | "
-                    f"{d.get('top1', float('nan')):.4f}")
+
+            def cell(f):
+                if f not in d:
+                    return "nan"
+                s = f"{d[f]:.4f}"
+                if d.get(f + "_std") is not None and d.get("n_seeds", 1) > 1:
+                    s += f" ±{d[f + '_std']:.4f}"
+                return s
+
+            return f"{cell('mAP')} | {cell('top1')}"
 
         if "eval/learned" in r:
             lines += ["| patch policy | mAP | top-1 |", "|---|---|---|"]
             for mode in ("oracle", "learned", "random", "center"):
                 if f"eval/{mode}" in r:
                     lines.append(f"| {mode} | {row(f'eval/{mode}')} |")
-        if "eval/int8" in r:
-            lines.append(f"| learned (int8) | {row('eval/int8')} |")
-        if "eval/int8_heads" in r:
-            lines.append(
-                f"| learned (int8+heads) | {row('eval/int8_heads')} |")
+        for key, label in (("eval/int8", "learned (int8)"),
+                           ("eval/int8_heads", "learned (int8+heads)"),
+                           ("eval/oversample", "learned (oversample x10)"),
+                           ("eval/full_res", "learned (full_res x3)")):
+            if key in r:
+                lines.append(f"| {label} | {row(key)} |")
         hard = [k for k in r if k.startswith("hard/") and "/" in k
                 and isinstance(r[k], dict)]
         if hard:
@@ -432,6 +545,22 @@ class Harness:
             for mode in ("oracle", "learned", "random", "center"):
                 if f"sthhard/{mode}" in r:
                     lines.append(f"| {mode} | {row(f'sthhard/{mode}')} |")
+            rec = r.get("sthhard/oracle_gap_recovery")
+            if rec:
+                lines.append(f"\noracle-gap recovery: mean {rec['mean']:.2f}"
+                             f" (per seed: "
+                             + " ".join(f"{x:.2f}" for x in rec["per_seed"])
+                             + ")")
+        tune = sorted({k.split("/")[1] for k in r
+                       if k.startswith("sthtune/")})
+        if tune:
+            lines += ["", "| sthtune variant | learned mAP | random mAP "
+                          "| oracle mAP |", "|---|---|---|---|"]
+            for name in tune:
+                cells = [
+                    f"{r.get(f'sthtune/{name}/{m}', {}).get('mAP', float('nan')):.4f}"
+                    for m in ("learned", "random", "oracle")]
+                lines.append(f"| {name} | " + " | ".join(cells) + " |")
         sth = [k for k in r if k.startswith("sthsth/")]
         if sth:
             lines += ["", "| sth-sth policy | mAP | top-1 |", "|---|---|---|"]
@@ -450,8 +579,15 @@ def main(argv=None):
                     default=os.path.join(REPO, "benchmarks/miniact_results.json"))
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke profile (tiny dataset + model)")
+    ap.add_argument("--seeds", default="1007",
+                    help="comma-separated run.seed list for the seed-"
+                         "replicated phases (frontier, sthhard)")
+    ap.add_argument("--sth-extra", default="",
+                    help="comma-separated extra overrides for the sthhard "
+                         "stages 2/3 + evals (the sthtune winner's recipe)")
     ap.add_argument("--phases",
-                    default="dataset,base,baselines,hard,int8,sthsth,sthhard,frontier")
+                    default="dataset,base,baselines,hard,int8,sthsth,"
+                            "sthtune,sthhard,frontier")
     args = ap.parse_args(argv)
     h = Harness(args)
     for phase in args.phases.split(","):

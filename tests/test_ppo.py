@@ -134,6 +134,40 @@ def test_ppo_update_moves_params_and_syncs_old(tiny_policy_setup):
     assert abs(float(metrics["ppo/ratio_mean"]) - 1.0) < 1e-4
 
 
+def test_continuous_clamped_sample_logprob_consistency():
+    """The continuous behavior logprob must score the CLAMPED action — the
+    reference clamps before log_prob (ppo_continuous.py:99-105) and its
+    evaluate scores the same stored clamped action (:133), so when
+    params_old == params every PPO ratio is exactly 1 even for samples that
+    hit the [0,1] boundary."""
+    from adafocus_tpu.models.policy import sample_rollout
+
+    cfg = GFVConfig(
+        num_classes=5, num_frames=4, image_size=32, glance_size=16,
+        patch_size=16, action_dim=4, hidden_dim=16, policy_hidden=16,
+        continuous_policy=True, action_std=0.5, dtype=jnp.float32,
+    )
+    policy = make_policy(cfg)
+    T, B, gh, gw, c = cfg.num_frames, 8, 2, 2, 8
+    fmaps = jax.random.normal(jax.random.key(0), (T, B, gh, gw, c)) * 3.0
+    params = policy.init(
+        jax.random.key(1), policy.initial_hidden(B), fmaps[0])["params"]
+    _, actor_out, _ = policy.apply(
+        {"params": params}, fmaps, False, method=ActorCritic.rollout_states)
+    actions, _, logp_roll = sample_rollout(
+        actor_out, jax.random.key(2), "sample", True, cfg.action_dim,
+        cfg.action_std)
+    # std=0.5 guarantees a healthy share of samples clamp to the boundary
+    a = np.asarray(actions)
+    assert ((a == 0.0) | (a == 1.0)).mean() > 0.1
+    logp_eval, _, ent = evaluate_episode(
+        policy, {"params": params}, fmaps, actions, train=False)
+    np.testing.assert_allclose(
+        np.asarray(logp_roll), np.asarray(logp_eval), atol=1e-5)
+    # fixed-std Gaussian: entropy is a positive constant (reference :134)
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(ent)[0, 0])
+
+
 def test_policy_channels_config_reaches_encoder():
     """model.policy_channels drives the state-encoder conv width — the
     reference's sth-sth 64-ch+BN encoder (sthsth/models/ppo.py:33-44) must
