@@ -146,6 +146,7 @@ def evaluate_episode(
     fmaps_tb: jax.Array,
     actions_tb: jax.Array,
     train: bool = True,
+    mutable=False,
 ):
     """Re-run the recurrent policy over the episode under the *current*
     params (reference ActorCritic.evaluate, ppo.py:98-122).
@@ -153,11 +154,23 @@ def evaluate_episode(
     fmaps_tb: (T, B, gh, gw, C) stored policy inputs.
     actions_tb: (T, B) int32 grid indices (discrete) or (T, B, 2) actions
       in [0,1]^2 (continuous).
-    Returns (logprobs (T,B), values (T,B), entropy (T,B)).
+    Returns (logprobs (T,B), values (T,B), entropy (T,B)); with ``mutable``
+    a 4th element carries the updated variable collections — the sth-sth
+    encoder has BatchNorm (sthsth/models/ppo.py:33-44, ppo_continuous.py
+    with_bn; the published recipe trains with actorcritic_with_bn=True,
+    train_stage2.sh), and in the reference it is exactly this ``evaluate``
+    call, running under ``model.train()``, that advances the persistent
+    running statistics (``act`` updates land on policy_old and are
+    overwritten by the old<-new sync, ppo.py:178).
     """
-    _, actor_out, value = policy.apply(
-        variables, fmaps_tb, train, method=ActorCritic.rollout_states
+    out = policy.apply(
+        variables, fmaps_tb, train, method=ActorCritic.rollout_states,
+        mutable=mutable,
     )
+    if mutable:
+        (_, actor_out, value), upd = out
+    else:
+        _, actor_out, value = out
     if policy.continuous:
         logp = gaussian_logprob(actions_tb, actor_out, policy.action_std)
         var = policy.action_std**2
@@ -167,7 +180,9 @@ def evaluate_episode(
         logp = jnp.take_along_axis(logprobs, actions_tb[..., None], axis=-1)[..., 0]
         probs = jax.nn.softmax(actor_out, axis=-1)
         ent = -jnp.sum(probs * logprobs, axis=-1)
-    return logp.astype(jnp.float32), value.astype(jnp.float32), ent.astype(jnp.float32)
+    res = (logp.astype(jnp.float32), value.astype(jnp.float32),
+           ent.astype(jnp.float32))
+    return res + (upd,) if mutable else res
 
 
 def ppo_loss(
@@ -183,11 +198,18 @@ def ppo_loss(
     old_logprob (T,B), returns (T,B) already discounted+normalized.
     """
     variables = {"params": params}
+    new_stats = None
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
-    logp, values, entropy = evaluate_episode(
-        policy, variables, memory["fmaps"], memory["actions"]
-    )
+        logp, values, entropy, upd = evaluate_episode(
+            policy, variables, memory["fmaps"], memory["actions"],
+            mutable=["batch_stats"],
+        )
+        new_stats = dict(upd.get("batch_stats", batch_stats))
+    else:
+        logp, values, entropy = evaluate_episode(
+            policy, variables, memory["fmaps"], memory["actions"]
+        )
     advantages = memory["returns"] - jax.lax.stop_gradient(values)
     ratios = jnp.exp(logp - memory["old_logprob"])
     surr1 = ratios * advantages
@@ -196,13 +218,14 @@ def ppo_loss(
     policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
     ent = jnp.mean(entropy)
     loss = policy_loss + cfg.value_coef * value_loss - cfg.entropy_coef * ent
-    return loss, {
+    metrics = {
         "ppo/loss": loss,
         "ppo/policy_loss": policy_loss,
         "ppo/value_loss": value_loss,
         "ppo/entropy": ent,
         "ppo/ratio_mean": jnp.mean(ratios),
     }
+    return loss, (metrics, new_stats)
 
 
 def ppo_update(
@@ -216,22 +239,29 @@ def ppo_update(
     """K_epochs of clipped-PPO on one episode batch; then old <- new
     (reference ppo.py:147-178). Pure: jit/shard_map-safe; pass ``axis_name``
     to psum gradients under data parallelism (capability the reference
-    explicitly lacks, actnet/main_dist.py:112-114)."""
+    explicitly lacks, actnet/main_dist.py:112-114).
+
+    Returns (new_state, metrics, new_batch_stats): the third element carries
+    the policy encoder's advanced BatchNorm running statistics (None when the
+    policy has no BN) — each K epoch's evaluate feeds the next, as the
+    reference's sequential evaluate calls do.
+    """
     tx = make_optimizer(cfg)
 
     def one_epoch(carry, _):
-        params, opt_state = carry
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: ppo_loss(policy, p, batch_stats, memory, cfg), has_aux=True
+        params, opt_state, stats = carry
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            lambda p: ppo_loss(policy, p, stats, memory, cfg), has_aux=True
         )(params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), metrics
+        return (params, opt_state, new_stats), metrics
 
-    (params, opt_state), metrics = jax.lax.scan(
-        one_epoch, (state.params, state.opt_state), None, length=cfg.k_epochs
+    (params, opt_state, new_stats), metrics = jax.lax.scan(
+        one_epoch, (state.params, state.opt_state, batch_stats), None,
+        length=cfg.k_epochs,
     )
     metrics = jax.tree.map(lambda m: m[-1], metrics)
     new_state = PPOState(
@@ -240,4 +270,4 @@ def ppo_update(
         opt_state=opt_state,
         step=state.step + 1,
     )
-    return new_state, metrics
+    return new_state, metrics, new_stats

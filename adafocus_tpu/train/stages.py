@@ -321,18 +321,25 @@ def make_stage2_step(
             "returns": returns,
         }
         policy_stats = (state.batch_stats or {}).get("policy")
-        new_ppo, ppo_metrics = ppo_update(
+        new_ppo, ppo_metrics, new_policy_stats = ppo_update(
             policy, state.ppo, policy_stats, memory, ppo_cfg, axis_name=axis_name
         )
         params = dict(state.params)
         params["policy"] = new_ppo.params
+        new_stats = state.batch_stats
+        if new_policy_stats is not None:
+            if axis_name is not None:
+                new_policy_stats = jax.lax.pmean(new_policy_stats, axis_name)
+            new_stats = dict(state.batch_stats)
+            new_stats["policy"] = new_policy_stats
         metrics = dict(ppo_metrics)
         metrics["reward_mean"] = jnp.mean(rewards)
         metrics["confidence"] = jnp.mean(conf)
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
         return (
-            state.replace(params=params, step=state.step + 1, ppo=new_ppo),
+            state.replace(params=params, batch_stats=new_stats,
+                          step=state.step + 1, ppo=new_ppo),
             metrics,
         )
 
@@ -343,12 +350,28 @@ def _rollout_time_major(policy, variables, fmaps_tb, rng, cfg: GFVConfig):
     """Sample-mode behavior rollout, time-major (the reference's Memory —
     ppo.py:9-24 — as scan-stacked arrays). Uses the batched fast path:
     encoder/actor/critic run once over (T*B); only the GRU recurrence
-    scans."""
+    scans.
+
+    When the policy encoder has BatchNorm (the sth-sth encoders,
+    sthsth/models/ppo.py:33-44 / ppo_continuous.py with_bn), the rollout
+    runs train-mode BN, matching the reference's ``act`` under
+    ``model.train()`` — the same batch statistics the PPO evaluate pass will
+    normalize with, so behavior/evaluate logprobs agree and ratios start at
+    exactly 1. The running-average update is DISCARDED here: in the
+    reference it lands on ``policy_old`` and is overwritten by the next
+    old<-new sync (ppo.py:178); the persistent stats advance in
+    ``ppo_update``."""
     from adafocus_tpu.models.policy import ActorCritic, sample_rollout
 
-    _, actor_out, value = policy.apply(
-        variables, fmaps_tb, False, method=ActorCritic.rollout_states
-    )
+    if policy.encoder_bn and "batch_stats" in variables:
+        (_, actor_out, value), _ = policy.apply(
+            variables, fmaps_tb, True, method=ActorCritic.rollout_states,
+            mutable=["batch_stats"],
+        )
+    else:
+        _, actor_out, value = policy.apply(
+            variables, fmaps_tb, False, method=ActorCritic.rollout_states
+        )
     coords, idx, logp = sample_rollout(
         actor_out, rng, "sample", cfg.continuous_policy, cfg.action_dim,
         cfg.action_std,

@@ -223,9 +223,18 @@ def make_plus_stage2_joint_step(
             sp_vars = {"params": params["policy"]}
             if policy_stats is not None:
                 sp_vars["batch_stats"] = policy_stats
-            sp_logp, sp_v, sp_ent = evaluate_episode(
-                policy, sp_vars, fmaps_tb, sroll["store"]
-            )
+            if policy_stats is not None and policy.encoder_bn:
+                # BN-encoder policies need a mutable pass (train-mode BN
+                # writes running stats); joint-RL discards the update — the
+                # plus family uses the BN-free actnet encoder by default
+                sp_logp, sp_v, sp_ent, _ = evaluate_episode(
+                    policy, sp_vars, fmaps_tb, sroll["store"],
+                    mutable=["batch_stats"],
+                )
+            else:
+                sp_logp, sp_v, sp_ent = evaluate_episode(
+                    policy, sp_vars, fmaps_tb, sroll["store"]
+                )
             logp = jnp.swapaxes(sel_out["logprob"], 0, 1) + sp_logp
             values = jnp.swapaxes(sel_out["value"], 0, 1) + sp_v
             entropy = jnp.swapaxes(sel_out["entropy"], 0, 1) + sp_ent

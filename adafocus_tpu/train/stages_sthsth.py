@@ -218,19 +218,30 @@ def make_sthsth_stage2_step(
             "returns": returns,
         }
         policy_stats = (state.batch_stats or {}).get("policy")
-        new_ppo, ppo_metrics = ppo_update(
+        new_ppo, ppo_metrics, new_policy_stats = ppo_update(
             policy, state.ppo, policy_stats, memory, ppo_cfg,
             axis_name=axis_name,
         )
         params = dict(state.params)
         params["policy"] = new_ppo.params
+        new_stats = state.batch_stats
+        if new_policy_stats is not None:
+            # the sth-sth encoder's BN running stats (the published recipe
+            # trains with actorcritic_with_bn=True, train_stage2.sh) advance
+            # with each PPO evaluate — greedy eval (train=False) then
+            # normalizes with converged statistics, not init zeros/ones
+            if axis_name is not None:
+                new_policy_stats = jax.lax.pmean(new_policy_stats, axis_name)
+            new_stats = dict(state.batch_stats)
+            new_stats["policy"] = new_policy_stats
         metrics = dict(ppo_metrics)
         metrics["reward_mean"] = jnp.mean(rewards)
         metrics["confidence"] = jnp.mean(conf)
         if axis_name is not None:
             metrics = jax.lax.pmean(metrics, axis_name)
         return (
-            state.replace(params=params, step=state.step + 1, ppo=new_ppo),
+            state.replace(params=params, batch_stats=new_stats,
+                          step=state.step + 1, ppo=new_ppo),
             metrics,
         )
 

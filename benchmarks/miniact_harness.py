@@ -79,7 +79,8 @@ def profiles(args):
                   "plus1": 1, "plus2": 1, "sth1": 2, "sth2": 2, "sth3": 1}
         budgets = [2, 4]
         sth = ["model.num_frames=4", "model.num_frames_focuser=4",
-               "model.video_div=2", "model.action_std=0.25"]
+               "model.video_div=2", "model.action_std=0.25",
+               "model.policy_channels=8", "model.policy_bn=true"]
     else:
         gen = ["--classes", "50", "--train-per-class", "24",
                "--val-per-class", "8", "--frames", "16", "--canvas", "256"]
@@ -105,11 +106,15 @@ def profiles(args):
         # compiles x 2 selector variants); the base eval supplies the
         # K=T=16 end of the frontier
         budgets = [4, 12]
-        # action_std 0.25 is the reference's published stage-2 recipe value
-        # (sthsth/train_stage2.sh action_std=0.25; the conf-yaml default 0.1
-        # was round 4's under-exploring setting)
+        # action_std 0.25 + the 64-ch BatchNorm state encoder are the
+        # reference's published stage-2 recipe (sthsth/train_stage2.sh:
+        # action_std=0.25 actorcritic_with_bn=True; the conf-yaml default
+        # 0.1 was round 4's under-exploring setting, and round 4's harness
+        # also silently ran the actnet 32-ch BN-free encoder because these
+        # overrides never loaded configs/sthsth_default.yaml)
         sth = ["model.num_frames=8", "model.num_frames_focuser=12",
-               "model.video_div=2", "model.action_std=0.25"]
+               "model.video_div=2", "model.action_std=0.25",
+               "model.policy_channels=64", "model.policy_bn=true"]
     return gen, base, epochs, budgets, sth
 
 

@@ -97,8 +97,8 @@ def test_ppo_update_device_count_invariant():
             "returns": discounted_returns(rewards, ppo_cfg.gamma,
                                           axis_name=axis),
         }
-        new_state, _ = ppo_update(policy, state, None, memory, ppo_cfg,
-                                  axis_name=axis)
+        new_state, _, _ = ppo_update(policy, state, None, memory, ppo_cfg,
+                                     axis_name=axis)
         return new_state.params
 
     single = update(state, fmaps, idx, logp, rewards, None)

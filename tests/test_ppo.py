@@ -118,7 +118,8 @@ def test_ppo_update_moves_params_and_syncs_old(tiny_policy_setup):
         "old_logprob": logp,
         "returns": discounted_returns(rewards, ppo_cfg.gamma),
     }
-    new_state, metrics = ppo_update(policy, state, None, memory, ppo_cfg)
+    new_state, metrics, new_stats = ppo_update(policy, state, None, memory, ppo_cfg)
+    assert new_stats is None  # BN-free policy carries no batch stats
 
     moved = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params

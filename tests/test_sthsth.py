@@ -175,6 +175,39 @@ def test_continuous_policy_stage2():
     assert np.isfinite(float(metrics["ppo/loss"]))
 
 
+def test_continuous_policy_stage2_bn_encoder():
+    """The published sth-sth recipe trains the continuous policy WITH a
+    BatchNorm state encoder (reference train_stage2.sh:
+    actorcritic_with_bn=True action_std=0.25; ppo_continuous.py:32-41).
+    The stage-2 step must (a) run at all (BN in train mode needs a mutable
+    pass), (b) keep behavior/evaluate logprobs consistent (ratio==1 on the
+    first update), and (c) ADVANCE the encoder's BN running statistics —
+    in the reference, evaluate() under model.train() does this; greedy
+    eval then normalizes with converged stats rather than init zeros/ones.
+    """
+    cfg = tiny_cfg(continuous_policy=True, action_std=0.25,
+                   policy_bn=True, policy_channels=8)
+    model = GFV(cfg)
+    state = create_train_state(model, jax.random.key(0), ppo_cfg=PPOConfig())
+    before = jax.tree.map(jnp.copy, state.batch_stats["policy"])
+    batch = make_batch(cfg)
+    step = jax.jit(make_sthsth_stage2_step(model, PPOConfig()))
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["ppo/loss"]))
+    assert abs(float(metrics["ppo/ratio_mean"]) - 1.0) < 1e-3
+    moved = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         before, new_state.batch_stats["policy"])
+    assert max(jax.tree.leaves(moved)) > 0
+    # second step consumes the advanced stats; greedy inference (eval-mode
+    # BN, running averages) runs without error on the updated state
+    new_state, _ = step(new_state, batch, jax.random.key(2))
+    variables = {"params": new_state.params,
+                 "batch_stats": new_state.batch_stats}
+    total = inference_sthsth(model, variables, batch["frames_flat"],
+                             batch["frames_small"], jax.random.key(3))
+    assert np.isfinite(np.asarray(total)).all()
+
+
 def test_without_glancer():
     cfg = tiny_cfg(with_glancer=False)
     model = GFV(cfg)
