@@ -109,16 +109,26 @@ def time_inference(
     repeats: int = 3,
     seed: int = 0,
     mode: str = "bf16",
+    views: int = 1,
 ) -> float:
     """Best-of-``repeats`` videos/sec for the deployment forward.
 
     mode: 'bf16' (production path), 'int8' (PTQ serving path — int8
     backbones + transport, bf16 heads; models/quant_inference.py) or
     'int8+heads' (heads quantized too: measured throughput-neutral,
-    −4.5 top-1 — kept measurable, not the serving default)."""
+    −4.5 top-1 — kept measurable, not the serving default).
+
+    views: test-time crop fan multiplicity (reference GroupOverSample=10 /
+    GroupFullResSample=3, actnet/ops/transforms.py:255-336; here
+    ``augment.eval_crops`` — cli/common.py folds views into the batch axis
+    and consensus-averages like clips). The model runs ``batch*views``
+    forwards but throughput is reported per VIDEO, so the returned
+    videos/s is the end-to-end cost a user pays for the multi-crop eval;
+    the per-view slicing/normalize is data-layer work outside the timed
+    region (static slices, negligible next to ``views``x the backbones)."""
     cfg = model.cfg
     state = create_train_state(model, jax.random.key(seed), batch_size=1)
-    data = make_data(cfg, batch)
+    data = make_data(cfg, batch * views)
     if mode in ("int8", "int8+heads"):
         # serving transport format: frames move through HBM as int8 (half
         # the extraction DMA), dequantized inside the backbone stems

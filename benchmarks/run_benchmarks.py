@@ -75,6 +75,11 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="also time the int8 PTQ serving path "
                          "(models/quant_inference.py) per config")
+    ap.add_argument("--eval-views", action="store_true",
+                    help="also time the test-time multi-crop eval fans at "
+                         "the flagship patch of each family: oversample "
+                         "(5 crops x flip = 10 views) and full_res (3), "
+                         "reference GroupOverSample/GroupFullResSample")
     args = ap.parse_args()
 
     import adafocus_tpu
@@ -140,6 +145,16 @@ def main() -> None:
                     1000.0 / time_inference(model, batch=1,
                                             inner_iters=inner,
                                             repeats=repeats, mode="int8"), 2)
+            if args.eval_views and patch in (96, 144):
+                # multi-crop eval throughput at the flagship point: the
+                # model runs views x batch forwards per video (the accuracy
+                # deltas these buy are the miniact eval/oversample +
+                # eval/full_res rows)
+                for name, v in (("oversample", 10), ("full_res", 3)):
+                    row[f"videos_per_sec_{name}_x{v}"] = round(
+                        time_inference(model, batch=max(args.batch // v, 1),
+                                       inner_iters=inner, repeats=repeats,
+                                       views=v), 1)
             results.append(row)
             print(json.dumps(row), flush=True)
 
