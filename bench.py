@@ -25,6 +25,12 @@ import os
 
 def main():
     import adafocus_tpu
+    from adafocus_tpu.utils.device_lock import wait_for_device
+
+    # refuse to time against concurrent training on the shared chip (the
+    # BENCH_r03 pollution, PERF.md): wait for any live lock holder, bounded
+    # by ADAFOCUS_BENCH_WAIT_SECS (default 30 min)
+    uncontended = wait_for_device()
 
     adafocus_tpu.enable_compilation_cache()
     batch = int(os.environ.get("BENCH_BATCH", "64"))
@@ -50,6 +56,10 @@ def main():
             "(23.5 GF/video); see matched_config for apples-to-apples"
         ),
     }
+    if not uncontended:
+        out["contended"] = (
+            "a training run still held the chip lock when the wait timed "
+            "out; throughput may read low (see PERF.md round-4 note)")
 
     if os.environ.get("BENCH_MATCHED", "1") != "0":
         import sys

@@ -595,9 +595,20 @@ def main(argv=None):
                             "sthtune,sthhard,frontier")
     args = ap.parse_args(argv)
     h = Harness(args)
-    for phase in args.phases.split(","):
-        getattr(h, f"phase_{phase.strip()}")()
-        h.save()
+
+    import contextlib
+
+    from adafocus_tpu.utils.device_lock import device_lock
+
+    # hold the advisory chip lock so driver/user benches wait instead of
+    # timing against this training (PERF.md round-4 integrity note); the
+    # tiny profile is CPU-only and takes no lock
+    lock = (contextlib.nullcontext() if args.tiny
+            else device_lock(note="miniact_harness"))
+    with lock:
+        for phase in args.phases.split(","):
+            getattr(h, f"phase_{phase.strip()}")()
+            h.save()
     h.report()
 
 

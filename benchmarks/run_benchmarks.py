@@ -83,7 +83,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import adafocus_tpu
+    from adafocus_tpu.utils.device_lock import wait_for_device
 
+    wait_for_device()  # never sweep against concurrent training (PERF.md)
     adafocus_tpu.enable_compilation_cache()
     from adafocus_tpu.benchmark import (
         inference_gflops_per_video,

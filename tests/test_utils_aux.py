@@ -324,3 +324,40 @@ def test_compilation_cache_enable_keyed_on_primary_platform(tmp_path):
     assert run("cpu") == "None"            # CPU-primary: stays uncached
     assert run("cpu,tpu") == "None"        # still CPU-primary
     assert run("tpu,cpu") == str(tmp_path)  # accelerator-primary: cached
+
+
+def test_device_lock_advisory_protocol(tmp_path):
+    """Benches must wait for a LIVE training lock holder, break stale
+    locks (dead pid) immediately, and the holder must clean up on exit —
+    the mechanical form of PERF.md's "never bench during training" rule
+    (round 3's BENCH_r03 was polluted by exactly this)."""
+    import json
+    import time
+
+    from adafocus_tpu.utils.device_lock import (
+        device_lock,
+        wait_for_device,
+    )
+
+    path = str(tmp_path / "chip.lock")
+
+    # free chip: returns immediately
+    assert wait_for_device(path=path, timeout_secs=0.1, poll_secs=0.01)
+
+    # held by THIS (live) process: bounded wait then contended=False
+    with device_lock(note="train", path=path):
+        t0 = time.time()
+        assert not wait_for_device(path=path, timeout_secs=0.3,
+                                   poll_secs=0.05)
+        assert time.time() - t0 >= 0.3
+    assert not os.path.exists(path)  # released on exit
+
+    # stale lock (dead pid): treated as free, no wait
+    with open(path, "w") as f:
+        json.dump({"pid": 2 ** 22 + 12345, "note": "crashed"}, f)
+    assert wait_for_device(path=path, timeout_secs=5, poll_secs=0.01)
+
+    # corrupt lock file: treated as free rather than wedging the bench
+    with open(path, "w") as f:
+        f.write("not json")
+    assert wait_for_device(path=path, timeout_secs=5, poll_secs=0.01)
