@@ -22,3 +22,21 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA:CPU compile cache for the test suite. The product-side
+# ``enable_compilation_cache`` deliberately refuses CPU-primary processes
+# (adafocus_tpu/__init__.py): XLA:CPU cache entries are AOT machine code
+# whose feature list includes tuning pseudo-features that warn on every
+# reload, and a FOREIGN-machine entry can genuinely SIGILL. Neither hazard
+# applies here: this cache dir is written and read only on this host (the
+# suite is the only writer), load failures fall back to a fresh compile
+# (jax_raise_persistent_cache_errors stays False), and every test asserts
+# numerics so a bad executable cannot pass silently. The win is the test
+# suite's dominant cost — full-depth backbone compiles on the 1-core
+# container — dropping to disk reads on warm runs. Opt out with
+# ADAFOCUS_TEST_COMPILE_CACHE=0.
+if os.environ.get("ADAFOCUS_TEST_COMPILE_CACHE", "1") != "0":
+    _cache = os.path.expanduser("~/.cache/adafocus_tpu/xla_cpu_tests")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
