@@ -22,10 +22,20 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--group", action="store_true")
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--family", default="flagship",
+                    help="'flagship' (actnet glance-96 entry config) or "
+                         "'actnet'/'sthsth' at --patch (the PERF.md "
+                         "roofline claim must hold across operating "
+                         "points, not just the flagship)")
+    ap.add_argument("--patch", type=int, default=0,
+                    help="patch size for --family actnet/sthsth "
+                         "(default: 96 actnet / 144 sthsth)")
     args = ap.parse_args()
 
     import adafocus_tpu
+    from adafocus_tpu.utils.device_lock import wait_for_device
 
+    wait_for_device()  # traces are timing measurements too
     adafocus_tpu.enable_compilation_cache()
     import jax
 
@@ -34,7 +44,15 @@ def main():
     from adafocus_tpu.train.stages import create_train_state
     from adafocus_tpu.utils.profiling import top_ops, trace
 
-    model = _flagship()
+    if args.family == "flagship":
+        model = _flagship()
+    else:
+        from adafocus_tpu.models.gfv import GFV
+        from run_benchmarks import actnet_cfg, sthsth_cfg
+
+        make_cfg = {"actnet": actnet_cfg, "sthsth": sthsth_cfg}[args.family]
+        patch = args.patch or {"actnet": 96, "sthsth": 144}[args.family]
+        model = GFV(make_cfg(patch))
     state = create_train_state(model, jax.random.key(0), batch_size=1)
     data = make_data(model.cfg, args.batch)
     fn = jax.jit(_inference_fn(model))
