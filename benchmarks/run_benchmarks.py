@@ -48,10 +48,19 @@ def actnet_cfg(patch: int):
 def sthsth_cfg(patch: int):
     from adafocus_tpu.models.gfv import GFVConfig
 
+    # the reference's published sth-sth rows are the full AdaFocus-TSM
+    # model with the CONTINUOUS Gaussian policy and the 64-ch BatchNorm
+    # state encoder (sthsth/train_stage2.sh: ppo_continuous=True
+    # actorcritic_with_bn=True; sthsth/models/ppo.py:33-44), so the
+    # matched-config throughput must time that recipe, not the actnet
+    # 32-ch discrete encoder (round-4 sweeps did; the encoder is <1% of
+    # the program, but the comparison should be faithful)
     return GFVConfig(
         num_classes=174, num_frames=8, num_frames_focuser=12, image_size=224,
         glance_size=224, patch_size=patch, action_dim=49,
-        classifier="consensus", tsm=True, video_div=1, dtype=jnp.bfloat16,
+        classifier="consensus", tsm=True, video_div=1,
+        continuous_policy=True, policy_channels=64, policy_bn=True,
+        dtype=jnp.bfloat16,
     )
 
 
