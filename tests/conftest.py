@@ -27,16 +27,19 @@ jax.config.update("jax_platforms", "cpu")
 # ``enable_compilation_cache`` deliberately refuses CPU-primary processes
 # (adafocus_tpu/__init__.py): XLA:CPU cache entries are AOT machine code
 # whose feature list includes tuning pseudo-features that warn on every
-# reload, and a FOREIGN-machine entry can genuinely SIGILL. Neither hazard
-# applies here: this cache dir is written and read only on this host (the
-# suite is the only writer), load failures fall back to a fresh compile
-# (jax_raise_persistent_cache_errors stays False), and every test asserts
-# numerics so a bad executable cannot pass silently. The win is the test
-# suite's dominant cost — full-depth backbone compiles on the 1-core
-# container — dropping to disk reads on warm runs. Opt out with
-# ADAFOCUS_TEST_COMPILE_CACHE=0.
+# reload, and a FOREIGN-machine entry can genuinely SIGILL. Here the cache
+# directory is keyed by a fingerprint of the host CPU's feature flags
+# (utils/hostcache.py) — observed necessary: this ~/.cache volume survives
+# container reschedules and carried AOT entries compiled on an AMX/AVX-512
+# machine with different tuning pseudo-features, which XLA's loader happily
+# loads with only a warning. With per-host keying, load failures fall back
+# to a fresh compile (jax_raise_persistent_cache_errors stays False) and
+# every test asserts numerics, so a bad executable cannot pass silently.
+# The win is the test suite's dominant cost — full-depth backbone compiles
+# on the 1-core container — dropping to disk reads on warm runs. Opt out
+# with ADAFOCUS_TEST_COMPILE_CACHE=0.
 if os.environ.get("ADAFOCUS_TEST_COMPILE_CACHE", "1") != "0":
-    _cache = os.path.expanduser("~/.cache/adafocus_tpu/xla_cpu_tests")
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
+    from adafocus_tpu.utils.hostcache import cpu_test_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cpu_test_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
