@@ -1,7 +1,8 @@
-"""Diagnose the 4 red learning-dynamics miniatures (round-5): run the
-test_spatial_policy tasks with periodic greedy probes so we can see the
-whole trajectory (the tests only measured the endpoint), and sweep the
-knobs the round-5 PPO fixes touched (action_std, policy_bn, lr).
+"""Trajectory diagnostics for the learning-dynamics miniatures
+(tests/test_learning_spatial.py): run the same tasks with periodic greedy
+probes printed every N steps, and expose the recipe knobs (action_std,
+policy_bn, lr, batch, warm steps) so threshold choices in the tests are
+grounded in observed trajectories instead of endpoint luck.
 
 Usage:
   python benchmarks/diag_learning_tests.py discrete [--steps 200] [--lr 3e-3]
@@ -11,11 +12,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import numpy as np
 
@@ -34,7 +36,6 @@ def cache_on():
 
 def run_discrete(args):
     import jax
-    import jax.numpy as jnp
 
     from adafocus_tpu.models.gfv import GFV
     from adafocus_tpu.ppo.core import PPOConfig
@@ -42,11 +43,9 @@ def run_discrete(args):
     from adafocus_tpu.train.stages import (
         create_train_state, make_stage2_step, make_stage_train_step,
     )
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    import test_spatial_policy as tsp
+    import test_learning_spatial as tls
 
-    import dataclasses
-    cfg = dataclasses.replace(tsp.ACT_CFG, policy_bn=args.bn)
+    cfg = dataclasses.replace(tls.SPATIAL_CFG, policy_bn=args.bn)
     model = GFV(cfg)
     tx = make_stage_optimizer(
         0, OptimConfig(backbone_lr=0.01, fc_lr=0.01, epochs=1,
@@ -55,24 +54,36 @@ def run_discrete(args):
                                ppo_cfg=PPOConfig(lr=args.lr))
     warm = jax.jit(make_stage_train_step(model, 0, tx))
     for i in range(args.warm):
-        batch, _ = tsp._actnet_batch(jax.random.key(4000 + i))
+        batch, _ = tls._spatial_batch(jax.random.key(2000 + i), b=args.b)
         state, m = warm(state, batch, jax.random.key(i))
-    print(f"warm done ({args.warm} steps) acc={float(m['accuracy']):.3f}",
+    print(f"warm done ({args.warm} steps) top1={float(m['top1']):.3f}",
           flush=True)
 
-    probe = [tsp._actnet_batch(jax.random.key(8000 + i)) for i in range(4)]
-    print(f"hit@0 {tsp._greedy_hit_rate(model, state, probe):.3f}", flush=True)
+    def hit_rate(state, n=4):
+        hits = []
+        for i in range(n):
+            batch, quad = tls._spatial_batch(jax.random.key(8000 + i))
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            fmap, _ = model.apply(
+                variables, batch["frames_small"], False, method=GFV.glance)
+            roll = model.apply(
+                variables, fmap, jax.random.key(i), "greedy", False,
+                method=GFV.policy_rollout)
+            idx = np.asarray(roll["action_idx"])
+            hits.append(np.mean(idx == np.asarray(quad)[:, None]))
+        return float(np.mean(hits))
 
+    print(f"hit@0 {hit_rate(state):.3f}", flush=True)
     ppo_step = jax.jit(make_stage2_step(model, PPOConfig(lr=args.lr)))
     rewards, entropies = [], []
     for i in range(args.steps):
-        batch, _ = tsp._actnet_batch(jax.random.key(5000 + i))
-        state, metrics = ppo_step(state, batch, jax.random.key(700 + i))
+        batch, _ = tls._spatial_batch(jax.random.key(3000 + i), b=args.b)
+        state, metrics = ppo_step(state, batch, jax.random.key(500 + i))
         rewards.append(float(metrics["reward_mean"]))
         entropies.append(float(metrics["ppo/entropy"]))
         if (i + 1) % args.every == 0:
-            hit = tsp._greedy_hit_rate(model, state, probe)
-            print(f"step {i+1:4d} hit {hit:.3f} "
+            print(f"step {i+1:4d} hit {hit_rate(state):.3f} "
                   f"reward {np.mean(rewards[-args.every:]):+.4f} "
                   f"entropy {np.mean(entropies[-args.every:]):.3f}",
                   flush=True)
@@ -80,7 +91,6 @@ def run_discrete(args):
 
 def run_continuous(args):
     import jax
-    import jax.numpy as jnp
 
     from adafocus_tpu.models.gfv import GFV
     from adafocus_tpu.ppo.core import PPOConfig
@@ -89,11 +99,9 @@ def run_continuous(args):
     from adafocus_tpu.train.stages_sthsth import (
         make_sthsth_stage2_step, make_sthsth_train_step,
     )
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-    import test_spatial_policy as tsp
+    import test_learning_spatial as tls
 
-    import dataclasses
-    cfg = dataclasses.replace(tsp.STH_CFG, action_std=args.std,
+    cfg = dataclasses.replace(tls.STH_CFG, action_std=args.std,
                               policy_bn=args.bn,
                               policy_channels=args.channels)
     model = GFV(cfg)
@@ -104,41 +112,57 @@ def run_continuous(args):
                                ppo_cfg=PPOConfig(lr=args.lr))
     warm = jax.jit(make_sthsth_train_step(model, 1, tx))
     for i in range(args.warm):
-        batch, _ = tsp._sthsth_batch(jax.random.key(4000 + i))
+        batch = tls._divisional_batch(jax.random.key(2000 + i), b=args.b, noise=args.noise)
         state, m = warm(state, batch, jax.random.key(i))
-    print(f"warm done ({args.warm} steps) acc={float(m['accuracy']):.3f}",
+    print(f"warm done ({args.warm} steps) top1={float(m['top1']):.3f}",
           flush=True)
 
-    probe = [tsp._sthsth_batch(jax.random.key(8000 + i)) for i in range(4)]
-    print(f"hit@0 {tsp._continuous_hit_rate(model, state, probe):.3f}",
-          flush=True)
+    def means(state, n=4):
+        outs = []
+        for i in range(n):
+            batch = tls._divisional_batch(jax.random.key(8000 + i), noise=args.noise)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            fmap, _ = model.apply(
+                variables, batch["frames_small"], False, method=GFV.glance)
+            roll = model.apply(
+                variables, fmap, jax.random.key(i), "greedy", False,
+                method=GFV.policy_rollout_div)
+            outs.append(np.asarray(roll["actions"]))
+        return np.concatenate(outs).mean(axis=0)
 
+    m0 = means(state)
+    print(f"dist@0 {np.abs(m0 - tls._DIV_TARGETS).mean():.3f} "
+          f"means {np.round(m0, 2).tolist()}", flush=True)
     ppo_step = jax.jit(make_sthsth_stage2_step(model, PPOConfig(lr=args.lr)))
     rewards = []
     for i in range(args.steps):
-        batch, _ = tsp._sthsth_batch(jax.random.key(5000 + i))
-        state, metrics = ppo_step(state, batch, jax.random.key(700 + i))
+        batch = tls._divisional_batch(jax.random.key(3000 + i), b=args.b, noise=args.noise)
+        state, metrics = ppo_step(state, batch, jax.random.key(500 + i))
         rewards.append(float(metrics["reward_mean"]))
         if (i + 1) % args.every == 0:
-            hit = tsp._continuous_hit_rate(model, state, probe)
-            print(f"step {i+1:4d} hit {hit:.3f} "
-                  f"reward {np.mean(rewards[-args.every:]):+.4f}",
-                  flush=True)
+            mm = means(state)
+            print(f"step {i+1:4d} dist "
+                  f"{np.abs(mm - tls._DIV_TARGETS).mean():.3f} "
+                  f"reward {np.mean(rewards[-args.every:]):+.4f} "
+                  f"means {np.round(mm, 2).tolist()}", flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["discrete", "continuous"])
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--warm", type=int, default=None)
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--std", type=float, default=0.15)
     ap.add_argument("--bn", action="store_true")
     ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--b", type=int, default=16)
+    ap.add_argument("--noise", type=float, default=0.1)
     args = ap.parse_args()
     if args.warm is None:
-        args.warm = 150 if args.which == "discrete" else 200
+        args.warm = 60 if args.which == "discrete" else 100
     cache_on()
     (run_discrete if args.which == "discrete" else run_continuous)(args)
 
